@@ -1,0 +1,313 @@
+"""Ported reference lexer + parser tests.
+
+Sources: /root/reference/src/lexer.rs:119-415 (token surface),
+/root/reference/src/parser.rs:26-974 (AST shapes, operand reversal,
+list sort/dedup, empty-list errors, flat and/or precedence).
+"""
+
+from decimal import Decimal
+
+import pytest
+
+from a_tree_spark.expr import (
+    AttributeDefinition as A,
+    AttributeTable,
+    EmptyListError,
+    LexicalError,
+    MismatchingTypes,
+    NonExistingAttribute,
+    Op,
+    ParserError,
+    lex,
+    parse,
+)
+
+
+@pytest.fixture
+def attributes():
+    # Reference test schema (src/parser.rs:958-973)
+    return AttributeTable([
+        A.string_list("deals"),
+        A.string("deal"),
+        A.integer("price"),
+        A.integer("exchange_id"),
+        A.boolean("private"),
+        A.string_list("deal_ids"),
+        A.integer_list("ids"),
+        A.integer_list("segment_ids"),
+        A.string("continent"),
+        A.string("country"),
+        A.string("city"),
+        A.float("bidfloor"),
+    ])
+
+
+# ---------------------------------------------------------------- lexer
+
+
+def kinds(text):
+    return [t.kind for t in lex(text)]
+
+
+def values(text):
+    return [t.value for t in lex(text)]
+
+
+def test_lexes_multiword_keywords_as_single_tokens():
+    assert kinds("one of") == ["ONE_OF"]
+    assert kinds("none of") == ["NONE_OF"]
+    assert kinds("all of") == ["ALL_OF"]
+    assert kinds("not in") == ["NOT_IN"]
+    assert kinds("is null") == ["IS_NULL"]
+    assert kinds("is not null") == ["IS_NOT_NULL"]
+    assert kinds("is empty") == ["IS_EMPTY"]
+    assert kinds("is not empty") == ["IS_NOT_EMPTY"]
+
+
+def test_lexes_operator_aliases():
+    assert kinds("a && b || !c") == ["IDENT", "AND", "IDENT", "OR", "NOT", "IDENT"]
+    assert kinds("a and b or not c") == ["IDENT", "AND", "IDENT", "OR", "NOT", "IDENT"]
+
+
+def test_identifiers_allow_hyphens_and_win_ties_by_length():
+    # hyphens are legal in identifiers (src/lexer.rs:79)
+    assert lex("deal-1")[0].kind == "IDENT"
+    assert lex("deal-1")[0].value == "deal-1"
+    # "andy" is an identifier, not AND + y
+    assert kinds("andy") == ["IDENT"]
+    assert kinds("notx") == ["IDENT"]
+
+
+def test_bare_not_is_a_keyword():
+    # reference post-lex fixup (src/lexer.rs:108-113)
+    assert kinds("not private") == ["NOT", "IDENT"]
+
+
+def test_integer_literals_including_negative():
+    assert values("-42") == [-42]
+    assert values("0") == [0]
+
+
+def test_float_literals_no_negative():
+    assert values("1.5") == [Decimal("1.5")]
+    assert values("5.") == [Decimal("5")]
+    # "-1.5" lexes as Integer(-1) then '.' is an invalid token
+    with pytest.raises(LexicalError):
+        lex("-1.5")
+
+
+def test_string_literals_both_quote_kinds_and_raw_escapes():
+    assert values("'hello'") == ["hello"]
+    assert values('"hello"') == ["hello"]
+    # escapes kept raw (src/lexer.rs:72, test :319-332)
+    assert values(r'"a\\b"') == ["a\\\\b"]
+
+
+def test_unterminated_string_is_lexical_error():
+    with pytest.raises(LexicalError):
+        lex("'oops")
+
+
+def test_invalid_character_is_lexical_error():
+    with pytest.raises(LexicalError):
+        lex("price @ 3")
+
+
+# ---------------------------------------------------------------- parser: shapes
+
+
+def leaf(node):
+    assert node.tag == "value"
+    return node.predicate
+
+
+def test_parses_equality(attributes):
+    p = leaf(parse("exchange_id = 1", attributes))
+    assert (p.attr_name, p.op, p.operand) == ("exchange_id", Op.EQ, 1)
+
+
+def test_parses_not_equal(attributes):
+    p = leaf(parse("exchange_id <> 1", attributes))
+    assert (p.op, p.operand) == (Op.NE, 1)
+
+
+def test_parses_string_equality_single_and_double_quotes(attributes):
+    assert leaf(parse("country = 'CA'", attributes)).operand == "CA"
+    assert leaf(parse('country = "CA"', attributes)).operand == "CA"
+
+
+def test_reversed_comparison_normalizes(attributes):
+    # 15 < price => price > 15 (src/grammar.lalrpop:85-112, parser.rs:85-99)
+    p = leaf(parse("15 < price", attributes))
+    assert (p.attr_name, p.op, p.operand) == ("price", Op.GT, 15)
+    p = leaf(parse("15 <= price", attributes))
+    assert (p.op, p.operand) == (Op.GE, 15)
+    p = leaf(parse("15 > price", attributes))
+    assert (p.op, p.operand) == (Op.LT, 15)
+    p = leaf(parse("15 >= price", attributes))
+    assert (p.op, p.operand) == (Op.LE, 15)
+
+
+def test_reversed_equality_normalizes(attributes):
+    # 1 = exchange_id => exchange_id = 1 (parser.rs:135-148)
+    p = leaf(parse("1 = exchange_id", attributes))
+    assert (p.attr_name, p.op, p.operand) == ("exchange_id", Op.EQ, 1)
+    p = leaf(parse("'CA' = country", attributes))
+    assert (p.attr_name, p.op, p.operand) == ("country", Op.EQ, "CA")
+
+
+def test_float_comparison_on_float_attribute(attributes):
+    p = leaf(parse("bidfloor >= 1.5", attributes))
+    assert (p.op, p.operand) == (Op.GE, Decimal("1.5"))
+
+
+def test_list_literals_sorted_and_deduped(attributes):
+    # src/grammar.lalrpop:237-244, parser.rs:428-446
+    p = leaf(parse("segment_ids one of [3, 1, 2, 3, 1]", attributes))
+    assert p.operand == (1, 2, 3)
+    p = leaf(parse('deals one of ["b", "a", "b"]', attributes))
+    assert p.operand == ("a", "b")
+
+
+def test_list_literals_accept_parentheses(attributes):
+    p = leaf(parse("segment_ids one of (3, 1, 2)", attributes))
+    assert p.operand == (1, 2, 3)
+    p = leaf(parse("exchange_id in (1, 2, 3)", attributes))
+    assert (p.op, p.operand) == (Op.IN, (1, 2, 3))
+
+
+def test_empty_list_is_parse_error(attributes):
+    # parser.rs:311-319,566-573,621-629
+    for expr in [
+        "exchange_id in []",
+        "exchange_id not in []",
+        "segment_ids one of []",
+        "segment_ids all of []",
+        "segment_ids none of []",
+    ]:
+        with pytest.raises(EmptyListError):
+            parse(expr, attributes)
+
+
+def test_set_and_list_operators(attributes):
+    assert leaf(parse("exchange_id not in [1, 2]", attributes)).op == Op.NOT_IN
+    assert leaf(parse('deals none of ["a"]', attributes)).op == Op.NONE_OF
+    assert leaf(parse('deals all of ["a"]', attributes)).op == Op.ALL_OF
+
+
+def test_null_and_empty_operators(attributes):
+    assert leaf(parse("exchange_id is null", attributes)).op == Op.IS_NULL
+    assert leaf(parse("exchange_id is not null", attributes)).op == Op.IS_NOT_NULL
+    assert leaf(parse("deals is empty", attributes)).op == Op.IS_EMPTY
+    assert leaf(parse("deals is not empty", attributes)).op == Op.IS_NOT_EMPTY
+
+
+def test_bare_boolean_variable(attributes):
+    p = leaf(parse("private", attributes))
+    assert (p.op, p.operand) == (Op.VAR, None)
+
+
+# ------------------------------------------------- parser: precedence
+
+
+def test_flat_left_associative_and_or(attributes):
+    # a and b or c and d == ((a and b) or c) and d  (parser.rs:837-916)
+    node = parse(
+        "exchange_id = 1 and private or exchange_id = 2 and private",
+        attributes,
+    )
+    assert node.tag == "and"
+    assert node.left.tag == "or"
+    assert node.left.left.tag == "and"
+    assert node.right.tag == "value"
+
+
+def test_flat_or_chain_left_assoc(attributes):
+    node = parse(
+        'exchange_id = 1 or private or deal_ids none of ["deal-2"] '
+        'or deal_ids one of ["deal-1"]',
+        attributes,
+    )
+    assert node.tag == "or"
+    assert node.left.tag == "or"
+    assert node.left.left.tag == "or"
+    assert node.left.left.left.tag == "value"
+
+
+def test_not_binds_looser_than_comparison(attributes):
+    # not exchange_id > 2 == not (exchange_id > 2)  (parser.rs:809-824)
+    node = parse("not exchange_id > 2", attributes)
+    assert node.tag == "not"
+    assert node.left.predicate.op == Op.GT
+
+
+def test_not_binds_tighter_than_and(attributes):
+    # exchange_id = 1 and not private (src/atree.rs:895)
+    node = parse("exchange_id = 1 and not private", attributes)
+    assert node.tag == "and"
+    assert node.right.tag == "not"
+
+
+def test_parentheses_reset_precedence(attributes):
+    node = parse(
+        "(private and exchange_id = 1) or (private and exchange_id = 2)",
+        attributes,
+    )
+    assert node.tag == "or"
+    assert node.left.tag == "and"
+    assert node.right.tag == "and"
+
+
+# ------------------------------------------------- parser: typing errors
+
+
+def test_unknown_attribute_is_error(attributes):
+    with pytest.raises(NonExistingAttribute):
+        parse("unknown = 1", attributes)
+
+
+def test_strict_typing_no_coercion(attributes):
+    # Comparison(Integer) only on Integer attr etc. (predicates.rs:86-130)
+    with pytest.raises(MismatchingTypes):
+        parse("bidfloor > 5", attributes)         # int literal on float attr
+    with pytest.raises(MismatchingTypes):
+        parse("price > 5.0", attributes)          # float literal on int attr
+    with pytest.raises(MismatchingTypes):
+        parse("country > 5", attributes)          # comparison on string attr
+    with pytest.raises(MismatchingTypes):
+        parse("deal = 5", attributes)             # int literal on string attr
+    with pytest.raises(MismatchingTypes):
+        parse("exchange_id = 'x'", attributes)    # string literal on int attr
+    with pytest.raises(MismatchingTypes):
+        parse("segment_ids one of ['a']", attributes)  # str list on int list
+    with pytest.raises(MismatchingTypes):
+        parse("deals one of [1, 2]", attributes)  # int list on str list
+    with pytest.raises(MismatchingTypes):
+        parse("exchange_id one of [1]", attributes)  # list op on scalar
+    with pytest.raises(MismatchingTypes):
+        parse("segment_ids in [1]", attributes)   # set op on list attr
+    with pytest.raises(MismatchingTypes):
+        parse("price", attributes)                # bare var must be boolean
+    with pytest.raises(MismatchingTypes):
+        parse("deals is null", attributes)        # is null invalid on lists
+    with pytest.raises(MismatchingTypes):
+        parse("price is empty", attributes)       # is empty only on lists
+
+
+def test_syntax_errors(attributes):
+    for expr in [
+        "invalid in (1, 2, 3 and",     # src/atree.rs:888
+        "exchange_id =",
+        "and private",
+        "exchange_id = 1 and",
+        "(private",
+        "",
+        "   ",
+    ]:
+        with pytest.raises((ParserError, NonExistingAttribute)):
+            parse(expr, attributes)
+
+
+def test_mixed_list_literal_is_error(attributes):
+    with pytest.raises(ParserError):
+        parse("segment_ids one of [1, 'a']", attributes)
