@@ -1,38 +1,95 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (predicate matching over the
+sf0.001 events table). ``queries()``/``oracle_sql()`` expose each
+implemented operator with a DuckDB-equivalent oracle; the driver diffs
+them at sf0.01 (row-count + schema + order-insensitive value hash).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _eventized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from a_tree_spark.engine.eventize import eventize_events
+
+    return eventize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _builder():
+    from a_tree_spark.engine.eventize import EVENT_ATTRIBUTES, STANDING_SUBSCRIPTIONS
+    from a_tree_spark.expr import ForestBuilder
+
+    builder = ForestBuilder(EVENT_ATTRIBUTES)
+    for sub_id, expression in STANDING_SUBSCRIPTIONS.items():
+        builder.insert(sub_id, expression)
+    return builder
+
+
+def _matcher_oracle() -> str:
+    from a_tree_spark.engine.eventize import (
+        EVENT_ATTRIBUTES,
+        EVENTIZE_DUCKDB_CTE,
+        STANDING_SUBSCRIPTIONS,
+    )
+    from a_tree_spark.expr.sql import matcher_oracle_sql
+
+    union = matcher_oracle_sql(
+        STANDING_SUBSCRIPTIONS, EVENT_ATTRIBUTES, events_table="ev"
+    )
+    return f"WITH ev AS ({EVENTIZE_DUCKDB_CTE}) {union}"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: vectorized predicate matching (the reference's `search`,
+    src/atree.rs:255-311, generalized to a DataFrame of events)."""
+    from a_tree_spark.engine.matcher import match_events
+
+    events = _eventized(spark, "/root/testdata/sf0.001")
+    return match_events(events, _builder(), strategy="vectorized")
+
+
+def _q_match_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from a_tree_spark.engine.matcher import match_events
+
+    return match_events(_eventized(spark, sf_dir), _builder(), strategy="vectorized")
+
+
+def _q_match_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from a_tree_spark.engine.matcher import match_events
+
+    return match_events(_eventized(spark, sf_dir), _builder(), strategy="codegen")
+
+
+def _q_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from a_tree_spark.engine.matcher import match_events
+
+    matches = match_events(_eventized(spark, sf_dir), _builder())
+    return matches.groupBy("sub_id").agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("event_id").alias("n_events"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "match_vectorized": _q_match_vectorized,
+        "match_codegen": _q_match_codegen,
+        "match_agg_by_sub": _q_match_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    matcher = _matcher_oracle()
+    return {
+        "match_vectorized": matcher,
+        "match_codegen": matcher,
+        "match_agg_by_sub": (
+            f"SELECT sub_id, COUNT(*) AS n_matches, "
+            f"COUNT(DISTINCT event_id) AS n_events "
+            f"FROM ({matcher}) GROUP BY sub_id"
+        ),
+    }

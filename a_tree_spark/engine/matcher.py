@@ -1,0 +1,176 @@
+"""Distributed predicate matching: events DataFrame × broadcast forest.
+
+The flagship operator (SURVEY.md §2.3 "search"): the reference matches
+one event against all expressions per call (src/atree.rs:255-311); here
+a whole DataFrame streams through executors, each Arrow batch is matched
+vectorized against the broadcast compiled forest, and the result is the
+relational form of Report::matches() — rows (event_id, sub_id),
+unordered (the reference tests sort before asserting,
+src/atree.rs:1182-1184).
+
+Two physical strategies:
+
+- ``vectorized`` (default, scales to 1e5+ subscriptions): driver
+  compiles + broadcasts the CSE forest; ``mapInPandas`` evaluates each
+  batch with numpy tri-state sweeps. One Python stage, no shuffle —
+  matching is embarrassingly parallel over event partitions.
+- ``codegen`` (small subscription sets): each expression becomes a
+  Catalyst boolean Column; matches emit via a single
+  explode(filter(array(when(...)))) projection — pure JVM, whole-stage
+  codegen, no Python at all. Faster below a few hundred subscriptions;
+  the Catalyst plan grows linearly with expressions so it cannot carry
+  1e5 of them.
+
+Plan shape at scale (100 TB reasoning): scan -> project needed columns
+(parquet column pruning) -> mapInPandas/project -> optional aggregation.
+No shuffle anywhere in the match itself; the only shuffles are whatever
+the caller does downstream with the matches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..expr.ast import Op
+from ..expr.compiler import CompiledForest, ForestBuilder
+from ..expr.schema import AttributeKind, AttributeTable
+from ..expr.sql import to_sql
+from ..expr.vector import DECIMAL_SCALE, BatchEvaluator
+
+
+def _needed_attributes(forest: CompiledForest) -> list[str]:
+    names = forest.attributes.names()
+    return sorted({names[leaf.attr_index] for leaf in forest.leaves})
+
+
+def _float_attributes(forest: CompiledForest) -> list[str]:
+    out = []
+    for definition in forest.attributes:
+        if definition.kind is AttributeKind.FLOAT:
+            out.append(definition.name)
+    return out
+
+
+def match_events(
+    events: DataFrame,
+    matcher: ForestBuilder | CompiledForest,
+    event_id_col: str = "event_id",
+    strategy: str = "vectorized",
+    sub_id_type: str = "bigint",
+) -> DataFrame:
+    """Match every event row against every subscription.
+
+    Returns a DataFrame (event_id, sub_id) with one row per match —
+    the distributed Report (SURVEY.md §1.4).
+    """
+    forest = matcher.compile() if isinstance(matcher, ForestBuilder) else matcher
+    if strategy == "codegen":
+        return _match_codegen(events, forest, event_id_col, sub_id_type)
+    return _match_vectorized(events, forest, event_id_col, sub_id_type)
+
+
+def _match_vectorized(
+    events: DataFrame,
+    forest: CompiledForest,
+    event_id_col: str,
+    sub_id_type: str,
+) -> DataFrame:
+    needed = _needed_attributes(forest)
+    spark = events.sparkSession
+
+    # Column pruning happens here so the parquet scan only reads the
+    # attributes any leaf touches (+ the id); .explain shows ReadSchema
+    # shrinking accordingly.
+    projected = events.select(event_id_col, *needed)
+
+    # Exact-decimal fast path: scale Float attrs to int64 fixed-point
+    # JVM-side (exact for DecimalType), so Arrow ships primitives and the
+    # Python evaluator never touches decimal objects (SURVEY.md §4.8).
+    for name in _float_attributes(forest):
+        if name in needed:
+            projected = projected.withColumn(
+                name, (F.col(name) * (10**DECIMAL_SCALE)).cast("long")
+            )
+
+    evaluator = BatchEvaluator(forest)
+    bc = spark.sparkContext.broadcast(evaluator)
+    id_field = projected.schema[event_id_col]
+
+    def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ev = bc.value
+        for pdf in batches:
+            rows, subs = ev.evaluate(pdf)
+            yield pd.DataFrame({
+                "event_id": pdf[event_id_col].to_numpy()[rows],
+                "sub_id": subs,
+            })
+
+    out_schema = f"event_id {id_field.dataType.simpleString()}, sub_id {sub_id_type}"
+    return projected.mapInPandas(match_batches, schema=out_schema)
+
+
+def _match_codegen(
+    events: DataFrame,
+    forest: CompiledForest,
+    event_id_col: str,
+    sub_id_type: str,
+) -> DataFrame:
+    """Small-N strategy: subscriptions as Catalyst columns.
+
+    matches = explode(filter(array(if(expr_i, id_i, null)...), notnull)).
+    Whole-stage codegen keeps this JVM-only; NULL boolean results are
+    dropped by the filter, which is exactly 'match = IS TRUE'.
+    """
+    # Reconstruct each subscription's expression from the DAG by node
+    # (sub roots can be interior nodes); render SQL bottom-up.
+    sql_cache: dict[int, str] = {}
+
+    def node_sql(idx: int) -> str:
+        cached = sql_cache.get(idx)
+        if cached is not None:
+            return cached
+        kind = forest.node_kind[idx]
+        if kind == 0:  # LEAF
+            text = to_sql_leaf(forest, idx)
+        else:
+            connective = "AND" if kind == 1 else "OR"
+            text = (
+                f"({node_sql(forest.node_left[idx])} {connective} "
+                f"{node_sql(forest.node_right[idx])})"
+            )
+        sql_cache[idx] = text
+        return text
+
+    def to_sql_leaf(forest: CompiledForest, idx: int) -> str:
+        from ..expr.sql import leaf_to_sql
+
+        return leaf_to_sql(forest.leaves[forest.node_left[idx]], dialect="spark")
+
+    hits = []
+    for node_idx, subs in sorted(forest.node_subs.items()):
+        for sub in subs:
+            hits.append(
+                F.when(
+                    F.expr(node_sql(node_idx)),
+                    F.lit(sub).cast(sub_id_type),
+                )
+            )
+    if not hits:
+        return events.select(
+            F.col(event_id_col).alias("event_id"),
+            F.lit(None).cast(sub_id_type).alias("sub_id"),
+        ).where(F.lit(False))
+
+    candidates = F.array(*hits)
+    return (
+        events.select(
+            F.col(event_id_col).alias("event_id"),
+            F.explode(
+                F.filter(candidates, lambda x: x.isNotNull())
+            ).alias("sub_id"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the sandbox (single JVM, local[N], 128 GiB) but every knob is
+the one you'd set on a real 1000-executor cluster: AQE + skew-join for
+hot cells, bounded Arrow batches for the Python matcher, partition
+sizing so sf0.1 parquet splits sensibly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "a_tree_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 8192,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2x cores: enough parallelism for local mode without tiny-task
+        # overhead; on a real cluster AQE coalesces these at runtime.
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-provided table. Iceberg-first at deployment
+    (north_rule input is an Iceberg table), parquet fallback offline —
+    the schema contract is identical (SURVEY.md §7.4)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if sf_dir.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(f"{sf_dir[len('iceberg:'):]}.{name}")
+    return spark.read.parquet(path)

@@ -1,0 +1,168 @@
+"""Vectorized batch evaluator vs the exact single-node oracle.
+
+Mirrors the reference's property-based strategy
+(/root/reference/src/predicates.rs:1422-1475): randomized events +
+randomized expressions, oracle agreement required on every row.
+"""
+
+import random
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from a_tree_spark.expr import (
+    AttributeDefinition as A,
+    AttributeTable,
+    ForestBuilder,
+    evaluate_event,
+)
+from a_tree_spark.expr.vector import BatchEvaluator
+
+
+def attributes():
+    return AttributeTable([
+        A.boolean("private"),
+        A.integer("exchange_id"),
+        A.integer("price"),
+        A.float("bidfloor"),
+        A.string("country"),
+        A.string("city"),
+        A.string_list("deals"),
+        A.integer_list("segment_ids"),
+    ])
+
+
+COUNTRIES = ["CA", "US", "FR", "GB", "IN", None]
+CITIES = ["QC", "AZ", "TN", "NY", None]
+DEALS = [f"deal-{i}" for i in range(1, 12)]
+
+
+def random_event(rng: random.Random) -> dict:
+    return {
+        "private": rng.choice([True, False, None]),
+        "exchange_id": rng.choice([None] + list(range(1, 8))),
+        "price": rng.choice([None] + list(range(0, 50, 7))),
+        "bidfloor": rng.choice(
+            [None, Decimal("0.5"), Decimal("1.5"), Decimal("2.25"), Decimal("10")]
+        ),
+        "country": rng.choice(COUNTRIES),
+        "city": rng.choice(CITIES),
+        "deals": rng.choice(
+            [None, []] + [sorted(rng.sample(DEALS, rng.randint(1, 4))) for _ in range(3)]
+        ),
+        "segment_ids": rng.choice(
+            [None, []] + [sorted(rng.sample(range(1, 20), rng.randint(1, 5))) for _ in range(3)]
+        ),
+    }
+
+
+def random_expression(rng: random.Random) -> str:
+    leaves = [
+        lambda: f"exchange_id = {rng.randint(1, 8)}",
+        lambda: f"exchange_id <> {rng.randint(1, 8)}",
+        lambda: f"price < {rng.randint(1, 50)}",
+        lambda: f"price >= {rng.randint(1, 50)}",
+        lambda: f"{rng.randint(1, 50)} < price",            # reversed operand
+        lambda: f"bidfloor > {rng.choice(['0.4', '1.5', '2.2499', '9.999999'])}",
+        lambda: f"bidfloor <= {rng.choice(['0.5', '1.75', '10.'])}",
+        lambda: f"country = '{rng.choice(['CA', 'US', 'FR'])}'",
+        lambda: f"country in {rng.sample(['CA', 'US', 'FR', 'GB'], 2)!r}".replace("(", "[").replace(")", "]"),
+        lambda: f"city not in ['QC', 'NY']",
+        lambda: "private",
+        lambda: "not private",
+        lambda: "exchange_id is null",
+        lambda: "country is not null",
+        lambda: "deals is empty",
+        lambda: "segment_ids is not empty",
+        lambda: f"deals one of {rng.sample(DEALS, 3)!r}".replace("(", "[").replace(")", "]"),
+        lambda: f"deals none of {rng.sample(DEALS, 2)!r}".replace("(", "[").replace(")", "]"),
+        lambda: f"deals all of {rng.sample(DEALS, 5)!r}".replace("(", "[").replace(")", "]"),
+        lambda: f"segment_ids one of {sorted(rng.sample(range(1, 20), 4))}",
+        lambda: f"segment_ids all of {sorted(rng.sample(range(1, 20), 8))}",
+    ]
+
+    def term() -> str:
+        text = rng.choice(leaves)()
+        if rng.random() < 0.25:
+            text = f"not ({text})" if rng.random() < 0.5 else f"not {text}"
+        return text
+
+    parts = [term() for _ in range(rng.randint(1, 5))]
+    text = parts[0]
+    for part in parts[1:]:
+        text += f" {rng.choice(['and', 'or'])} {part}"
+    if rng.random() < 0.3:
+        text = f"({text}) {rng.choice(['and', 'or'])} {term()}"
+    return text
+
+
+def events_to_pdf(events: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame({
+        "private": pd.Series([e["private"] for e in events], dtype=object),
+        "exchange_id": pd.Series([e["exchange_id"] for e in events], dtype="Int64").astype(object),
+        "price": pd.Series([e["price"] for e in events], dtype=object),
+        "bidfloor": pd.Series([e["bidfloor"] for e in events], dtype=object),
+        "country": pd.Series([e["country"] for e in events], dtype=object),
+        "city": pd.Series([e["city"] for e in events], dtype=object),
+        "deals": pd.Series([e["deals"] for e in events], dtype=object),
+        "segment_ids": pd.Series([e["segment_ids"] for e in events], dtype=object),
+    })
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_vectorized_matches_oracle_randomized(seed):
+    rng = random.Random(seed)
+    builder = ForestBuilder(attributes())
+    n_subs = 120
+    for sub_id in range(n_subs):
+        builder.insert(sub_id, random_expression(rng))
+    forest = builder.compile()
+    evaluator = BatchEvaluator(forest)
+
+    events = [random_event(rng) for _ in range(300)]
+    pdf = events_to_pdf(events)
+    rows, subs = evaluator.evaluate(pdf)
+
+    got: dict[int, set] = {}
+    for row, sub in zip(rows.tolist(), subs.tolist()):
+        got.setdefault(row, set()).add(sub)
+
+    for i, event in enumerate(events):
+        expected = set(evaluate_event(forest, event))
+        assert got.get(i, set()) == expected, (
+            f"row {i} mismatch: event={event}"
+        )
+
+
+def test_small_chunking_equals_single_pass():
+    rng = random.Random(42)
+    builder = ForestBuilder(attributes())
+    for sub_id in range(40):
+        builder.insert(sub_id, random_expression(rng))
+    forest = builder.compile()
+    events = [random_event(rng) for _ in range(100)]
+    pdf = events_to_pdf(events)
+
+    big = BatchEvaluator(forest)
+    # Force tiny chunks through the memory budget knob
+    small = BatchEvaluator(forest, memory_budget_bytes=1)
+    rows_a, subs_a = big.evaluate(pdf)
+    rows_b, subs_b = small.evaluate(pdf)
+    a = sorted(zip(rows_a.tolist(), subs_a.tolist()))
+    b = sorted(zip(rows_b.tolist(), subs_b.tolist()))
+    assert a == b
+
+
+def test_empty_inputs():
+    builder = ForestBuilder(attributes())
+    forest = builder.compile()
+    evaluator = BatchEvaluator(forest)
+    rows, subs = evaluator.evaluate(events_to_pdf([]))
+    assert len(rows) == 0 and len(subs) == 0
+
+    builder.insert(1, "private")
+    evaluator = BatchEvaluator(builder.compile())
+    rows, subs = evaluator.evaluate(events_to_pdf([]))
+    assert len(rows) == 0
