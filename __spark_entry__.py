@@ -75,15 +75,26 @@ def _q_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from a_tree_spark.engine import spatial_queries as SQ
+
     return {
         "match_vectorized": _q_match_vectorized,
         "match_codegen": _q_match_codegen,
         "match_agg_by_sub": _q_match_agg,
+        "cell_encode": SQ.q_cell_encode,
+        "cell_agg": SQ.q_cell_agg,
+        "point_in_polygon": SQ.q_point_in_polygon,
+        "point_in_polygon_pandas": SQ.q_point_in_polygon_pandas,
+        "knn": SQ.q_knn,
+        "raster_vector": SQ.q_raster_vector,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from a_tree_spark.engine import spatial_queries as SQ
+
     matcher = _matcher_oracle()
+    pip = SQ.oracle_point_in_polygon()
     return {
         "match_vectorized": matcher,
         "match_codegen": matcher,
@@ -92,4 +103,10 @@ def oracle_sql() -> dict[str, str]:
             f"COUNT(DISTINCT event_id) AS n_events "
             f"FROM ({matcher}) GROUP BY sub_id"
         ),
+        "cell_encode": SQ.oracle_cell_encode(),
+        "cell_agg": SQ.oracle_cell_agg(),
+        "point_in_polygon": pip,
+        "point_in_polygon_pandas": pip,
+        "knn": SQ.oracle_knn(),
+        "raster_vector": SQ.oracle_raster_vector(),
     }

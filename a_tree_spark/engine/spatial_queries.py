@@ -1,0 +1,213 @@
+"""Spatial operator queries over the driver tables, each paired with a
+DuckDB oracle built from the SAME constants and arithmetic (fixtures).
+
+These are the north_rule operators (SURVEY.md §2.4) made driver-checkable:
+cell encode, per-cell aggregation, point-in-polygon, kNN, raster↔vector.
+Points/queries derive from driver tables via integer arithmetic both
+engines evaluate identically (spatial/fixtures.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..spatial.cells import cell_id_sql, cell_xy, grid_size, ray_cast_sql
+from ..spatial.fixtures import (
+    POINT_LAT_SQL,
+    POINT_LON_SQL,
+    QUERY_LAT_SQL,
+    QUERY_LON_SQL,
+    TILE_VALUE_SQL,
+    test_polygons,
+)
+from ..spatial.ops import knn_join, point_in_polygon_join, raster_vector_join
+
+ENCODE_LEVEL = 12   # density-appropriate at 1e12 docs (north_rule)
+JOIN_LEVEL = 6      # density-appropriate at driver-table scale
+
+
+def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            f"{POINT_LAT_SQL} AS lat",
+            f"{POINT_LON_SQL} AS lon",
+        )
+    )
+
+
+def _points_cte(sf: str = "events") -> str:
+    return (
+        f"SELECT event_id, user_id, {POINT_LAT_SQL} AS lat, "
+        f"{POINT_LON_SQL} AS lon FROM {sf}"
+    )
+
+
+# ---------------------------------------------------------- cell encode
+
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_points(spark, sf_dir).select(
+        "event_id", F.expr(cell_id_sql("lat", "lon", ENCODE_LEVEL)).alias("cell_id")
+    )
+
+
+def oracle_cell_encode() -> str:
+    return (
+        f"WITH pts AS ({_points_cte()}) "
+        f"SELECT event_id, {cell_id_sql('lat', 'lon', ENCODE_LEVEL)} AS cell_id FROM pts"
+    )
+
+
+# ------------------------------------------------------ per-cell stats
+
+
+def q_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-aggregation analog (SURVEY.md §2.4 bottom row): per-cell
+    page/point statistics. Partial aggregation is map-side; the single
+    shuffle is keyed by cell_id."""
+    pts = event_points(spark, sf_dir).withColumn(
+        "cell_id", F.expr(cell_id_sql("lat", "lon", JOIN_LEVEL))
+    )
+    return pts.groupBy("cell_id").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def oracle_cell_agg() -> str:
+    return (
+        f"WITH pts AS ({_points_cte()}) "
+        f"SELECT {cell_id_sql('lat', 'lon', JOIN_LEVEL)} AS cell_id, "
+        f"COUNT(*) AS n_points, COUNT(DISTINCT user_id) AS n_users, "
+        f"MIN(event_id) AS first_event FROM pts GROUP BY 1"
+    )
+
+
+# -------------------------------------------------- point in polygon
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = point_in_polygon_join(
+        event_points(spark, sf_dir),
+        test_polygons(),
+        level=JOIN_LEVEL,
+        refine="sql",
+    )
+    return result.select("event_id", "shape_id")
+
+
+def q_point_in_polygon_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = point_in_polygon_join(
+        event_points(spark, sf_dir),
+        test_polygons(),
+        level=JOIN_LEVEL,
+        refine="pandas",
+    )
+    return result.select("event_id", "shape_id")
+
+
+def oracle_point_in_polygon() -> str:
+    selects = []
+    for polygon in test_polygons():
+        condition = ray_cast_sql("lat", "lon", list(polygon.ring))
+        selects.append(
+            f"SELECT event_id, CAST({polygon.shape_id} AS BIGINT) AS shape_id "
+            f"FROM pts WHERE {condition}"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"WITH pts AS ({_points_cte()}) {union}"
+
+
+# ----------------------------------------------------------------- kNN
+
+
+def knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/nation.parquet").selectExpr(
+        "n_nationkey AS query_id",
+        f"{QUERY_LAT_SQL} AS lat",
+        f"{QUERY_LON_SQL} AS lon",
+    )
+
+
+KNN_K = 3
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_join(
+        knn_queries(spark, sf_dir),
+        event_points(spark, sf_dir).withColumnRenamed("event_id", "point_id"),
+        k=KNN_K,
+        level=JOIN_LEVEL,
+    ).select("query_id", "point_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def oracle_knn() -> str:
+    return f"""
+WITH pts AS ({_points_cte()}),
+q AS (SELECT n_nationkey AS query_id, {QUERY_LAT_SQL} AS lat,
+      {QUERY_LON_SQL} AS lon FROM nation)
+SELECT query_id, event_id AS point_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY (q.lat - pts.lat) * (q.lat - pts.lat)
+                  + (q.lon - pts.lon) * (q.lon - pts.lon), event_id
+       ) AS BIGINT) AS rank
+FROM q CROSS JOIN pts
+QUALIFY rank <= {KNN_K}
+""".strip()
+
+
+# ------------------------------------------------- raster ↔ vector
+
+
+def raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raster layer: the distinct cells the point set
+    occupies, valued by exact integer arithmetic on the cell id."""
+    pts = event_points(spark, sf_dir).withColumn(
+        "cell_id", F.expr(cell_id_sql("lat", "lon", JOIN_LEVEL))
+    )
+    return pts.select("cell_id").distinct().withColumn(
+        "tile_value", F.expr(TILE_VALUE_SQL)
+    )
+
+
+def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..spatial.ops import polygon_cover_df
+
+    raster = raster_tiles(spark, sf_dir)
+    cover = polygon_cover_df(spark, test_polygons(), JOIN_LEVEL)
+    return raster_vector_join(raster, cover)
+
+
+def oracle_raster_vector() -> str:
+    n = grid_size(JOIN_LEVEL)
+    covers = []
+    for polygon in test_polygons():
+        lats = [p[0] for p in polygon.ring]
+        lons = [p[1] for p in polygon.ring]
+        x0, y0 = cell_xy(min(lats), min(lons), JOIN_LEVEL)
+        x1, y1 = cell_xy(max(lats), max(lons), JOIN_LEVEL)
+        covers.append(
+            f"SELECT CAST({polygon.shape_id} AS BIGINT) AS shape_id, "
+            f"CAST(y * {n} + x AS BIGINT) AS cell_id "
+            f"FROM generate_series({int(y0)}, {int(y1)}) t1(y), "
+            f"generate_series({int(x0)}, {int(x1)}) t2(x)"
+        )
+    cover_union = " UNION ALL ".join(covers)
+    return f"""
+WITH pts AS ({_points_cte()}),
+raster AS (
+    SELECT cell_id, {TILE_VALUE_SQL} AS tile_value FROM (
+        SELECT DISTINCT {cell_id_sql('lat', 'lon', JOIN_LEVEL)} AS cell_id FROM pts
+    )
+),
+cover AS ({cover_union})
+SELECT shape_id, COUNT(*) AS n_tiles, SUM(tile_value) AS sum_value,
+       MIN(tile_value) AS min_value, MAX(tile_value) AS max_value
+FROM cover JOIN raster USING (cell_id)
+GROUP BY shape_id
+""".strip()

@@ -1,0 +1,244 @@
+"""Distributed spatial operators: cell encode, tile joins, point-in-
+polygon, kNN, raster↔vector — all expressed as Catalyst-friendly plans.
+
+Design rules (SURVEY.md §2.4):
+- cell encoding is pure JVM arithmetic (no UDF) so it rides whole-stage
+  codegen and pushes through AQE;
+- every spatial join is an equi-join on cell_id — broadcast when one
+  side is small, AQE skew-join otherwise;
+- exact refines (ray cast) run either as generated-SQL CASE branches
+  (small polygon sets, zero Python) or as a vectorized numpy refine via
+  mapInPandas (large sets);
+- kNN is iterative disk-expansion with a provable termination bound
+  (min_outside_distance) so results equal the brute-force oracle
+  exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .cells import (
+    DEFAULT_LEVEL,
+    cell_id_sql,
+    grid_size,
+    min_outside_distance,
+    ray_cast_sql,
+)
+
+
+def with_cell_id(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = DEFAULT_LEVEL,
+    out_col: str = "cell_id",
+) -> DataFrame:
+    """JVM-side cell encoding — shows up inside WholeStageCodegen, no
+    Python worker involved."""
+    return df.withColumn(out_col, F.expr(cell_id_sql(lat_col, lon_col, level)))
+
+
+def tile_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "cell_id",
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    """Tile↔tile equi-join. ``broadcast_right=None`` lets AQE decide;
+    True forces a broadcast hint for known-small dimension sides."""
+    if broadcast_right:
+        right = F.broadcast(right)
+    return left.join(right, on)
+
+
+@dataclass(frozen=True)
+class Polygon:
+    shape_id: int
+    ring: tuple  # ((lat, lon), ...) closed implicitly
+
+
+def polygon_cover_df(spark, polygons: list[Polygon], level: int = DEFAULT_LEVEL) -> DataFrame:
+    """Driver-side cover computation -> small (shape_id, cell_id) DF.
+    Covers are conservative (bbox cells); exactness comes from the
+    refine stage, so this only controls candidate selectivity."""
+    from .cells import polygon_bbox_cover
+
+    rows = []
+    for polygon in polygons:
+        for cell in polygon_bbox_cover(list(polygon.ring), level).tolist():
+            rows.append((polygon.shape_id, cell))
+    return spark.createDataFrame(rows, "shape_id bigint, cell_id bigint")
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: list[Polygon],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = DEFAULT_LEVEL,
+    refine: str = "sql",
+) -> DataFrame:
+    """points × polygons containment join.
+
+    Plan: encode points to cells (codegen) -> broadcast-join the
+    polygon cell cover (candidates) -> exact even-odd ray cast.
+    ``refine="sql"`` generates one CASE branch per polygon (pure JVM —
+    right choice up to a few hundred polygons); ``refine="pandas"``
+    ships rings via broadcast and refines in numpy (scale path for
+    thousands of polygons).
+    """
+    spark = points.sparkSession
+    pts = with_cell_id(points, lat_col, lon_col, level)
+    cover = polygon_cover_df(spark, polygons, level)
+    candidates = pts.join(F.broadcast(cover), "cell_id")
+
+    if refine == "sql":
+        branches = " ".join(
+            f"WHEN {p.shape_id} THEN {ray_cast_sql(lat_col, lon_col, list(p.ring))}"
+            for p in polygons
+        )
+        inside = F.expr(f"CASE shape_id {branches} ELSE FALSE END")
+        return candidates.where(inside).drop("cell_id")
+
+    import numpy as np
+    import pandas as pd
+
+    from .cells import points_in_polygon
+
+    rings = {p.shape_id: list(p.ring) for p in polygons}
+    bc = spark.sparkContext.broadcast(rings)
+    fields = [f for f in candidates.schema.fields if f.name != "cell_id"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    names = [f.name for f in fields]
+
+    def refine_batches(batches):
+        table = bc.value
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            for shape_id, group in pdf.groupby("shape_id"):
+                idx = group.index.to_numpy()
+                mask = points_in_polygon(lat[idx], lon[idx], table[shape_id])
+                keep[idx[mask]] = True
+            yield pdf.loc[keep, names]
+
+    return candidates.mapInPandas(refine_batches, schema=out_schema)
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    point_id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    level: int = DEFAULT_LEVEL,
+    initial_radius: int = 1,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbors via cell-disk expansion.
+
+    Per round: explode each pending query's cell disk (JVM `sequence`
+    expressions — no Python), equi-join points on cell_id, take top-k by
+    (dist2, point_id). A query finishes when its kth distance is within
+    the guarantee bound min_outside_distance(radius) — no point outside
+    the disk can beat it — or the disk covers the grid. Matches the
+    brute-force oracle exactly (planar-degree metric, ties by point_id).
+
+    Scale notes: each round is one shuffle join keyed by cell_id; disk
+    size grows as (2r+1)^2 but only unfinished queries re-expand, and in
+    dense data round 1 finishes nearly everything.
+    """
+    n = grid_size(level)
+    pts = with_cell_id(points, lat_col, lon_col, level).select(
+        F.col(point_id_col),
+        F.col(lat_col).alias("_p_lat"),
+        F.col(lon_col).alias("_p_lon"),
+        "cell_id",
+    )
+    pending = with_cell_id(queries, lat_col, lon_col, level).select(
+        query_id_col,
+        F.col(lat_col).alias("_q_lat"),
+        F.col(lon_col).alias("_q_lon"),
+        F.col("cell_id").alias("_q_cell"),
+    )
+
+    results = None
+    radius = initial_radius
+    for _ in range(max_rounds):
+        qx = pending.withColumn("_qx", F.col("_q_cell") % n).withColumn(
+            "_qy", (F.col("_q_cell") / n).cast("long")
+        )
+        disk = qx.withColumn(
+            "cell_id",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(GREATEST(_qy - {radius}, 0), "
+                    f"LEAST(_qy + {radius}, {n - 1})), "
+                    f"y -> transform(sequence(GREATEST(_qx - {radius}, 0), "
+                    f"LEAST(_qx + {radius}, {n - 1})), x -> y * {n} + x)))"
+                )
+            ),
+        ).select(query_id_col, "_q_lat", "_q_lon", "_q_cell", "cell_id")
+
+        # plain multiplies (not pow()) so the arithmetic is bit-identical
+        # to the oracle's (a-b)*(a-b)
+        dlat = F.col("_q_lat") - F.col("_p_lat")
+        dlon = F.col("_q_lon") - F.col("_p_lon")
+        candidates = disk.join(pts, "cell_id").withColumn(
+            "dist2", dlat * dlat + dlon * dlon
+        )
+        window = Window.partitionBy(query_id_col).orderBy("dist2", point_id_col)
+        topk = candidates.withColumn("rank", F.row_number().over(window)).where(
+            F.col("rank") <= k
+        )
+
+        bound = min_outside_distance(radius, level) ** 2
+        grid_covered = radius >= n  # disk spans the whole grid
+        per_query = topk.groupBy(query_id_col, "_q_cell", "_q_lat", "_q_lon").agg(
+            F.count("*").alias("_n"), F.max("dist2").alias("_kth")
+        )
+        done_filter = (
+            F.lit(True)
+            if grid_covered
+            else (F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound))
+        )
+        done_ids = per_query.where(done_filter).select(query_id_col)
+        finished = topk.join(F.broadcast(done_ids), query_id_col).select(
+            query_id_col, point_id_col, "rank"
+        )
+        results = finished if results is None else results.unionByName(finished)
+
+        pending = pending.join(F.broadcast(done_ids), query_id_col, "left_anti")
+        if grid_covered or pending.isEmpty():
+            break
+        radius *= 2
+    else:
+        raise RuntimeError(
+            f"knn_join did not converge in {max_rounds} rounds (radius={radius})"
+        )
+
+    return results
+
+
+def raster_vector_join(
+    raster: DataFrame,
+    vector_cover: DataFrame,
+    value_col: str = "tile_value",
+    key_col: str = "shape_id",
+) -> DataFrame:
+    """raster tiles (cell_id, value) ⋈ vector cell cover (shape_id,
+    cell_id) -> exact per-shape aggregates. Integer/decimal values keep
+    sums order-independent, so engine == oracle bit-for-bit."""
+    joined = vector_cover.join(raster, "cell_id")
+    return joined.groupBy(key_col).agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )

@@ -1,0 +1,126 @@
+"""Spatial layer: numpy unit tests + Spark-vs-DuckDB oracle integration."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR, assert_matches_duckdb
+
+from a_tree_spark.spatial import (
+    Polygon,
+    cell_center,
+    cell_id,
+    disk_cells,
+    grid_size,
+    min_outside_distance,
+    points_in_polygon,
+    polygon_bbox_cover,
+    ring_cells,
+)
+from a_tree_spark.engine import spatial_queries as SQ
+
+
+# ------------------------------------------------------------ unit (numpy)
+
+
+def test_cell_id_corners_and_center():
+    n = grid_size(12)
+    assert cell_id(-90.0, -180.0, 12) == 0
+    assert cell_id(89.9999, 179.9999, 12) == n * n - 1
+    # exact boundary clamps into the last cell
+    assert cell_id(90.0, 180.0, 12) == n * n - 1
+    mid = cell_id(0.0, 0.0, 12)
+    assert mid == (n // 2) * n + (n // 2)
+
+
+def test_cell_center_roundtrip():
+    cells = np.array([0, 12345, 999999], dtype=np.int64)
+    lat, lon = cell_center(cells, 12)
+    assert np.array_equal(cell_id(lat, lon, 12), cells)
+
+
+def test_disk_and_ring_cells():
+    c = int(cell_id(0.0, 0.0, 6))
+    disk1 = disk_cells(np.array([c]), 1, 6)[0]
+    assert len(disk1) == 9 and c in disk1
+    ring1 = ring_cells(c, 1, 6)
+    assert len(ring1) == 8 and c not in ring1
+    assert set(ring1).issubset(set(disk1.tolist()))
+    # corner clamping: cell 0's disk has only 4 cells
+    assert len(disk_cells(np.array([0]), 1, 6)[0]) == 4
+
+
+def test_min_outside_distance_guarantee():
+    # brute-force check at a coarse level: points in cells outside disk(r)
+    # really are farther than the bound
+    level, r = 4, 2
+    bound = min_outside_distance(r, level)
+    c = int(cell_id(10.0, 10.0, level))
+    lat0, lon0 = 10.0, 10.0
+    rng = np.random.default_rng(0)
+    lats = rng.uniform(-90, 90, 5000)
+    lons = rng.uniform(-180, 180, 5000)
+    cells = cell_id(lats, lons, level)
+    inside_disk = np.isin(cells, disk_cells(np.array([c]), r, level)[0])
+    dist = np.sqrt((lats - lat0) ** 2 + (lons - lon0) ** 2)
+    assert (dist[~inside_disk] >= bound).all()
+
+
+def test_ray_cast_convex_and_concave():
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    lats = np.array([5.0, 15.0, 9.9, -0.1])
+    lons = np.array([5.0, 5.0, 9.9, 5.0])
+    assert points_in_polygon(lats, lons, square).tolist() == [True, False, True, False]
+
+    # chevron: concave notch at the midpoint
+    chevron = [(10.0, -10.0), (10.0, 10.0), (0.0, 0.0), (-10.0, 10.0), (-10.0, -10.0)]
+    assert points_in_polygon(np.array([0.0]), np.array([5.0]), chevron).tolist() == [False]
+    assert points_in_polygon(np.array([0.0]), np.array([-5.0]), chevron).tolist() == [True]
+
+
+def test_bbox_cover_contains_polygon_cells():
+    square = [(1.0, 1.0), (1.0, 9.0), (9.0, 9.0), (9.0, 1.0)]
+    cover = set(polygon_bbox_cover(square, 6).tolist())
+    inner = cell_id(np.array([5.0]), np.array([5.0]), 6)[0]
+    assert inner in cover
+
+
+# ------------------------------------------------------- Spark vs DuckDB
+
+
+def test_q_cell_encode(spark):
+    assert_matches_duckdb(SQ.q_cell_encode(spark, SF_DIR), SQ.oracle_cell_encode())
+
+
+def test_q_cell_agg(spark):
+    assert_matches_duckdb(SQ.q_cell_agg(spark, SF_DIR), SQ.oracle_cell_agg())
+
+
+def test_q_point_in_polygon_sql_refine(spark):
+    df = SQ.q_point_in_polygon(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_point_in_polygon())
+
+
+def test_q_point_in_polygon_pandas_refine_agrees(spark):
+    a = sorted(map(tuple, SQ.q_point_in_polygon(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, SQ.q_point_in_polygon_pandas(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_q_knn(spark):
+    df = SQ.q_knn(spark, SF_DIR)
+    assert_matches_duckdb(df, SQ.oracle_knn())
+
+
+def test_q_raster_vector(spark):
+    assert_matches_duckdb(SQ.q_raster_vector(spark, SF_DIR), SQ.oracle_raster_vector())
+
+
+def test_cell_encode_is_jvm_only(spark):
+    plan = SQ.q_cell_encode(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pip_sql_refine_is_jvm_only(spark):
+    plan = SQ.q_point_in_polygon(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
