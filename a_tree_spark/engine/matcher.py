@@ -61,16 +61,19 @@ def match_events(
     event_id_col: str = "event_id",
     strategy: str = "vectorized",
     sub_id_type: str = "bigint",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Match every event row against every subscription.
 
-    Returns a DataFrame (event_id, sub_id) with one row per match —
-    the distributed Report (SURVEY.md §1.4).
+    Returns a DataFrame (event_id, sub_id, *carry_cols) with one row per
+    match — the distributed Report (SURVEY.md §1.4). ``carry_cols`` ride
+    through the match stage so downstream spatial aggregation needs no
+    join back to the (expensive to recompute) event source.
     """
     forest = matcher.compile() if isinstance(matcher, ForestBuilder) else matcher
     if strategy == "codegen":
-        return _match_codegen(events, forest, event_id_col, sub_id_type)
-    return _match_vectorized(events, forest, event_id_col, sub_id_type)
+        return _match_codegen(events, forest, event_id_col, sub_id_type, carry_cols)
+    return _match_vectorized(events, forest, event_id_col, sub_id_type, carry_cols)
 
 
 def _match_vectorized(
@@ -78,14 +81,18 @@ def _match_vectorized(
     forest: CompiledForest,
     event_id_col: str,
     sub_id_type: str,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     needed = _needed_attributes(forest)
+    carry = carry_cols or []
     spark = events.sparkSession
 
     # Column pruning happens here so the parquet scan only reads the
-    # attributes any leaf touches (+ the id); .explain shows ReadSchema
-    # shrinking accordingly.
-    projected = events.select(event_id_col, *needed)
+    # attributes any leaf touches (+ id + carried cols); .explain shows
+    # ReadSchema shrinking accordingly.
+    projected = events.select(
+        event_id_col, *carry, *[c for c in needed if c not in carry]
+    )
 
     # Exact-decimal fast path: scale Float attrs to int64 fixed-point
     # JVM-side (exact for DecimalType), so Arrow ships primitives and the
@@ -99,17 +106,21 @@ def _match_vectorized(
     evaluator = BatchEvaluator(forest)
     bc = spark.sparkContext.broadcast(evaluator)
     id_field = projected.schema[event_id_col]
+    carry_fields = [projected.schema[c] for c in carry]
 
     def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ev = bc.value
         for pdf in batches:
             rows, subs = ev.evaluate(pdf)
-            yield pd.DataFrame({
-                "event_id": pdf[event_id_col].to_numpy()[rows],
-                "sub_id": subs,
-            })
+            out = {"event_id": pdf[event_id_col].to_numpy()[rows], "sub_id": subs}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()[rows]
+            yield pd.DataFrame(out)
 
-    out_schema = f"event_id {id_field.dataType.simpleString()}, sub_id {sub_id_type}"
+    out_schema = ", ".join(
+        [f"event_id {id_field.dataType.simpleString()}", f"sub_id {sub_id_type}"]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in carry_fields]
+    )
     return projected.mapInPandas(match_batches, schema=out_schema)
 
 
@@ -118,6 +129,7 @@ def _match_codegen(
     forest: CompiledForest,
     event_id_col: str,
     sub_id_type: str,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Small-N strategy: subscriptions as Catalyst columns.
 
@@ -159,10 +171,12 @@ def _match_codegen(
                     F.lit(sub).cast(sub_id_type),
                 )
             )
+    carry = carry_cols or []
     if not hits:
         return events.select(
             F.col(event_id_col).alias("event_id"),
             F.lit(None).cast(sub_id_type).alias("sub_id"),
+            *[F.col(c) for c in carry],
         ).where(F.lit(False))
 
     candidates = F.array(*hits)
@@ -172,5 +186,6 @@ def _match_codegen(
             F.explode(
                 F.filter(candidates, lambda x: x.isNotNull())
             ).alias("sub_id"),
+            *[F.col(c) for c in carry],
         )
     )

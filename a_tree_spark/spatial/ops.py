@@ -155,18 +155,20 @@ def knn_join(
     dense data round 1 finishes nearly everything.
     """
     n = grid_size(level)
+    # both sides re-join every expansion round: pin them so rounds don't
+    # recompute the upstream lineage (scan + encode) from scratch
     pts = with_cell_id(points, lat_col, lon_col, level).select(
         F.col(point_id_col),
         F.col(lat_col).alias("_p_lat"),
         F.col(lon_col).alias("_p_lon"),
         "cell_id",
-    )
+    ).localCheckpoint()
     pending = with_cell_id(queries, lat_col, lon_col, level).select(
         query_id_col,
         F.col(lat_col).alias("_q_lat"),
         F.col(lon_col).alias("_q_lon"),
         F.col("cell_id").alias("_q_cell"),
-    )
+    ).localCheckpoint()
 
     results = None
     radius = initial_radius
@@ -214,7 +216,9 @@ def knn_join(
         )
         results = finished if results is None else results.unionByName(finished)
 
-        pending = pending.join(F.broadcast(done_ids), query_id_col, "left_anti")
+        pending = pending.join(
+            F.broadcast(done_ids), query_id_col, "left_anti"
+        ).localCheckpoint()
         if grid_covered or pending.isEmpty():
             break
         radius *= 2

@@ -1,0 +1,32 @@
+from .extract import extract_text, extract_text_series, with_extracted_text
+from .geotag import centroid_df, geotag_pages
+from .pipeline import (
+    PAGE_ATTRIBUTES,
+    build_page_forest,
+    eventize_pages,
+    exact_cell_sub_counts,
+    match_pages,
+    run_pipeline,
+    salted_cell_stats,
+    standing_page_subscriptions,
+)
+from .synth import synth_batch, synth_page, synth_pages_df
+
+__all__ = [
+    "PAGE_ATTRIBUTES",
+    "build_page_forest",
+    "centroid_df",
+    "eventize_pages",
+    "exact_cell_sub_counts",
+    "extract_text",
+    "extract_text_series",
+    "geotag_pages",
+    "match_pages",
+    "run_pipeline",
+    "salted_cell_stats",
+    "standing_page_subscriptions",
+    "synth_batch",
+    "synth_page",
+    "synth_pages_df",
+    "with_extracted_text",
+]

@@ -1,0 +1,117 @@
+"""HTML -> text extraction with a byte-identical single-row oracle.
+
+input_hint requirement: "byte-identical extracted text per url; verify
+with pytest". ``extract_text`` is the reference implementation (pure
+Python, one row); ``extracted_text_column`` applies the same rule over
+Arrow batches with pandas string kernels (no row-at-a-time Spark UDF).
+
+Extraction rule (documented contract): the text is the concatenation of
+the contents of all <p>...</p> spans, in document order, joined by a
+single newline; no entity decoding, no whitespace normalization.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_P_SPAN = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+
+def extract_text(html: bytes | str) -> str:
+    """Single-row oracle."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8")
+    return "\n".join(_P_SPAN.findall(html))
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized (pandas string kernels over an Arrow batch)."""
+    decoded = html.str.decode("utf-8") if html.dtype == object and len(html) and isinstance(html.iloc[0], (bytes, bytearray)) else html
+    return decoded.str.findall(_P_SPAN).str.join("\n")
+
+
+_GEO_META = re.compile(r'geo\.position" content="(-?[0-9.]+);(-?[0-9.]+)"')
+_TLD = re.compile(r"^https?://[^/]*\.([a-z]+)/")
+
+
+def with_page_features(pages: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """One Arrow-native pass (mapInArrow + pyarrow RE2 kernels) adding
+    extracted_text + meta_lat/meta_lon + tld. No pandas, no per-row
+    Python: regex extraction runs in Arrow's C++ compute layer
+    (~10x faster than pandas .str, which object-loops).
+
+    Multi-<p> pages can't use the single-shot RE2 extract (it returns
+    the first match); those rows — detected with a vectorized count —
+    fall back to the oracle ``extract_text`` row-wise, preserving the
+    byte-identical contract. ``keep`` prunes the output (default: drop
+    the heavy html payload — the extracted text is the content from
+    here on)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if keep is None:
+        keep = [f.name for f in pages.schema.fields if f.name != "html"]
+    kept_fields = [pages.schema[c] for c in keep]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in kept_fields)
+    schema = (
+        f"{fields}, extracted_text string, meta_lat double, "
+        f"meta_lon double, tld string"
+    )
+
+    p_pattern = r"(?s)<p>(?P<t>.*?)</p>"
+    geo_pattern = r'geo\.position" content="(?P<glat>-?[0-9.]+);(?P<glon>-?[0-9.]+)"'
+    tld_pattern = r"^https?://[^/]*\.(?P<tld>[a-z]+)/"
+
+    def run(batches):
+        for batch in batches:
+            html = pc.cast(batch.column(batch.schema.get_field_index("html")), pa.string())
+            url = batch.column(batch.schema.get_field_index("url"))
+
+            p_match = pc.extract_regex(html, p_pattern)
+            text = pc.struct_field(p_match, "t")
+            text = pc.fill_null(text, "")
+            n_p = pc.count_substring_regex(html, "<p>")
+            multi = pc.greater(n_p, 1)
+            if pc.any(multi).as_py():
+                idx = [i for i, m in enumerate(multi.to_pylist()) if m]
+                py_text = text.to_pylist()
+                py_html = html.to_pylist()
+                for i in idx:
+                    py_text[i] = extract_text(py_html[i])
+                text = pa.array(py_text, type=pa.string())
+
+            geo = pc.extract_regex(html, geo_pattern)
+            meta_lat = pc.cast(pc.struct_field(geo, "glat"), pa.float64())
+            meta_lon = pc.cast(pc.struct_field(geo, "glon"), pa.float64())
+            tld = pc.struct_field(pc.extract_regex(url, tld_pattern), "tld")
+
+            arrays = [batch.column(batch.schema.get_field_index(c)) for c in keep]
+            arrays += [text, meta_lat, meta_lon, tld]
+            names = keep + ["extracted_text", "meta_lat", "meta_lon", "tld"]
+            yield pa.RecordBatch.from_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
+                names=names,
+            )
+
+    return pages.mapInArrow(run, schema=schema)
+
+
+def with_extracted_text(pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:
+    """Adds the extracted-text column via mapInPandas (Arrow batches)."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields
+    )
+    schema = f"{fields}, {out_col} string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = extract_text_series(pdf[html_col])
+            yield pdf
+
+    return pages.mapInPandas(run, schema=schema)

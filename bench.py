@@ -1,0 +1,118 @@
+"""Benchmark runner — prints ONE JSON line with per-query seconds.
+
+Headline: the north-star fused pipeline (web pages -> extract -> geotag
+-> cell encode -> match 10k standing subscriptions -> salted per-cell
+aggregation), measured in docs/sec from a materialized parquet pages
+table (generation cost excluded — the north_rule input is a pre-existing
+Iceberg/parquet table). Plus the operator suite over the driver tables
+at $SPARK_GRAFT_SF_DIR.
+
+Scaling evidence (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and =32 on
+the same input; scripts/bench_scaling.py writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _pages_parquet(spark, n_pages: int, cache_dir: str = "/tmp/spark_graft_bench") -> str:
+    """Materialize the synthetic pages table once; benches read parquet."""
+    path = os.path.join(cache_dir, f"pages_{n_pages}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from a_tree_spark.web import synth_pages_df
+
+        synth_pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
+    from a_tree_spark.engine.session import get_spark
+
+    spark = get_spark("a_tree_spark-bench", cpus=cpus)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entry_mod
+
+    from a_tree_spark.web import build_page_forest, eventize_pages
+    from a_tree_spark.web.pipeline import match_pages, salted_cell_stats
+
+    pages_path = _pages_parquet(spark, n_pages)
+    forest = build_page_forest(n_subs)
+    forest.compile()  # driver-side compile excluded from the timed run
+
+    # warmup: touch EVERY python worker (imports numpy/pyarrow once per
+    # worker process) — a single-partition warmup leaves the rest cold
+    pages_small = (
+        spark.read.parquet(pages_path).limit(20 * cpus).repartition(2 * cpus)
+    )
+    salted_cell_stats(match_pages(eventize_pages(pages_small), forest)).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    def flagship():
+        # small-file read yields too few splits for the CPU-bound python
+        # stage; repartition to ~2x cores (at 100 TB the scan itself
+        # produces thousands of splits and this is a no-op decision)
+        pages = spark.read.parquet(pages_path).repartition(cpus * 2)
+        return salted_cell_stats(match_pages(eventize_pages(pages), forest)).count()
+
+    # steady-state: best of 2 (first run still pays residual JIT/broadcast)
+    timed("web_pipeline", flagship)
+    first = timings["web_pipeline"]
+    timed("web_pipeline", flagship)
+    timings["web_pipeline"] = min(first, timings["web_pipeline"])
+    extras["web_pipeline_cold"] = first
+    extras["docs_per_sec"] = round(n_pages / timings["web_pipeline"], 1)
+    extras["n_pages"] = n_pages
+    extras["n_subscriptions"] = n_subs
+
+    queries = entry_mod.queries()
+    for name in [
+        "match_vectorized",
+        "match_codegen",
+        "match_agg_by_sub",
+        "cell_encode",
+        "cell_agg",
+        "point_in_polygon",
+        "knn",
+        "raster_vector",
+    ]:
+        if name in queries:
+            timed(name, lambda name=name: queries[name](spark, sf_dir).count())
+
+    result = {
+        "metric": "spatial-join + predicate-match throughput (docs/sec) + operator suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
+    n_subs = int(os.environ.get("SPARK_GRAFT_SUBS", "10000"))
+    result = run(cpus, sf_dir, n_pages, n_subs)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Web-page pipeline: byte-identical extraction, geotag determinism,
+end-to-end match parity with the single-node oracle."""
+
+import numpy as np
+import pytest
+
+from a_tree_spark.expr import evaluate_event, normalize_event
+from a_tree_spark.spatial.cells import cell_id
+from a_tree_spark.web import (
+    PAGE_ATTRIBUTES,
+    build_page_forest,
+    eventize_pages,
+    extract_text,
+    match_pages,
+    standing_page_subscriptions,
+    synth_batch,
+    synth_page,
+    synth_pages_df,
+)
+
+N_PAGES = 400
+N_SUBS = 200
+
+
+def test_synth_is_deterministic_and_id_pure():
+    a = synth_batch(np.arange(0, 50))
+    b = synth_batch(np.arange(0, 50))
+    assert a.equals(b)
+    # single-row oracle == vectorized batch, any batch split
+    row = synth_page(37)
+    c = synth_batch(np.array([36, 37, 38]))
+    assert c["html"][1] == row["html"]
+    assert c["text"][1] == row["text"]
+    assert c["url"][1] == row["url"]
+
+
+def test_extraction_byte_identical_oracle():
+    # input_hint invariant: extractor(html) == text byte-for-byte
+    pages = synth_batch(np.arange(0, 300))
+    for html, text in zip(pages["html"], pages["text"]):
+        assert extract_text(html) == text
+
+
+def test_extraction_byte_identical_on_spark(spark):
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    from a_tree_spark.web import with_extracted_text
+
+    bad = (
+        with_extracted_text(pages)
+        .where("extracted_text <> text")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_geotag_and_cells(spark):
+    eventized = eventize_pages(synth_pages_df(spark, N_PAGES, partitions=4))
+    rows = {r["url"]: r for r in eventized.collect()}
+    pages = synth_batch(np.arange(N_PAGES))
+    n_geo = 0
+    for i in range(N_PAGES):
+        url = pages["url"][i]
+        row = rows[url]
+        assert row["lang"] == pages["lang"][i]
+        # tld parsed from the URL authority's last component
+        assert url.rsplit(".", 1)[0]  # sanity
+        if b"geo.position" in pages["html"][i]:
+            n_geo += 1
+            # meta geo wins over the centroid
+            content = pages["html"][i].decode().split('content="')[1].split('"')[0]
+            lat, lon = map(float, content.split(";"))
+            assert row["lat"] == pytest.approx(lat)
+            assert row["lon"] == pytest.approx(lon)
+            assert row["cell_id"] == int(cell_id(np.array([lat]), np.array([lon]))[0])
+        else:
+            assert row["lat"] is not None  # centroid fallback
+    assert 0 < n_geo < N_PAGES  # both paths exercised
+
+
+def test_pipeline_matches_equal_single_node_oracle(spark):
+    """End-to-end parity: distributed match results == oracle matcher run
+    on the same eventized rows (the DataFrame restatement of the
+    reference's search contract)."""
+    eventized = eventize_pages(synth_pages_df(spark, N_PAGES, partitions=4)).cache()
+    forest_builder = build_page_forest(N_SUBS)
+    matches = match_pages(eventized, forest_builder, carry=("cell_id", "url"))
+    got: dict[str, set] = {}
+    for row in matches.collect():
+        got.setdefault(row["url"], set()).add(row["sub_id"])
+
+    forest = forest_builder.compile()
+    names = PAGE_ATTRIBUTES.names()
+    for row in eventized.collect():
+        event = {k: row[k] for k in names}
+        expected = set(evaluate_event(forest, normalize_event(PAGE_ATTRIBUTES, event)))
+        assert got.get(row["url"], set()) == expected, row["url"]
+
+
+def test_subscription_workload_compiles_and_shares():
+    builder = build_page_forest(2000)
+    forest = builder.compile()
+    # heavy CSE expected from the templated workload
+    assert forest.num_nodes < 2000 * 6
+    assert len(forest.leaves) < 2000 * 3
+    assert len(standing_page_subscriptions(2000)) == 2000
+
+
+def test_cell_skew_exists(spark):
+    """The Zipf ccTLD draw must create hot cells (else the salting path
+    is untested theater)."""
+    from pyspark.sql import functions as F
+
+    eventized = eventize_pages(synth_pages_df(spark, 2000, partitions=4))
+    counts = (
+        eventized.where("cell_id is not null")
+        .groupBy("cell_id").count().orderBy(F.desc("count"))
+    )
+    top = [r["count"] for r in counts.limit(5).collect()]
+    total = eventized.count()
+    assert top[0] > total * 0.02  # hottest cell is meaningfully hot
