@@ -22,6 +22,18 @@ def get_spark(
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # Worker-process hygiene (inherited by python workers in local mode):
+    # - single-threaded BLAS/OMP: N workers x N BLAS threads oversubscribes
+    #   and spin-waits; the engine's numpy path is not BLAS-bound anyway
+    # - raise malloc's mmap threshold so multi-MB numpy temps recycle in
+    #   the arena instead of mmap/munmap per allocation (kernel time)
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 << 20))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(64 << 20))
+
     if shuffle_partitions is None:
         # ~2x cores: enough parallelism for local mode without tiny-task
         # overhead; on a real cluster AQE coalesces these at runtime.
@@ -41,6 +53,10 @@ def get_spark(
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill to tmpfs: the sandbox's virtio disk has high,
+        # variable latency (measured 2-40s swings on a 140MB shuffle);
+        # on a real cluster this is local NVMe and not a concern
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -1,30 +1,36 @@
-"""Vectorized tri-state forest evaluator over Arrow/pandas record batches.
+"""Vectorized forest evaluator over Arrow/pandas record batches.
 
 This is the batch generalization of the reference's per-event search
-(/root/reference/src/atree.rs:255-311): instead of one tri-state bitset
-memo per event (src/evaluation.rs:1-64), we keep one uint8 code vector
-per DAG node across a whole batch of rows, with Kleene codes ordered
-FALSE=0 < UNKNOWN=1 < TRUE=2 so that AND = elementwise min and OR =
-elementwise max (identical truth tables to evaluate_and/evaluate_or,
-src/atree.rs:612-672).
+(/root/reference/src/atree.rs:255-311) and bitset memo
+(src/evaluation.rs:1-64): one packed TRUTH bitset per DAG node across a
+batch of rows. In NNF, Kleene truth propagates monotonically — AND=min
+and OR=max can never turn UNKNOWN into TRUE — so 'does this row match'
+needs only TRUE-bits; the three-valued semantics live at the leaf layer
+(null attr -> not TRUE) and in the single-row oracle used for parity
+tests.
 
-Execution strategy (SURVEY.md §4.8):
-- each distinct leaf is evaluated once per batch as a numpy column
+Execution strategy (SURVEY.md §4.8), measured on 32 concurrent workers:
+- each distinct leaf is evaluated once per batch as a numpy bool column
   (the CSE payoff — reference shares node evaluations per event,
   src/lib.rs:72-75);
-- list-typed attributes are flattened once per batch into (flat values,
-  row ids) so every one-of/all-of leaf over that attribute is a single
-  vectorized membership + segmented reduction — no per-row Python;
-- equality leaves over the same attribute are evaluated as ONE
-  searchsorted + scatter for the whole group (the vectorized analog of
-  the reference's access-predicate work-list, src/atree.rs:530-547);
-- interior nodes are swept level by level with fancy-indexed min/max —
-  a handful of numpy ops per DAG level, not per node;
-- rows are processed in adaptive chunks sized so the node-value matrix
-  stays CPU-cache-resident: with 32 concurrent executor workers the
-  sweep is memory-bandwidth-bound, and an 8 MB working set per task
-  measured ~30x faster than 50 MB (96k vs 3k rows/s/stage on a 10k-
-  subscription forest) — the uint8 matrix never touches DRAM twice.
+- membership leaves (in / one of / ...) per attribute share one
+  broadcast inverted index: each batch value occurrence scatters into
+  exactly the leaves listing it — the vectorized analog of the
+  reference's access-predicate work-list (src/atree.rs:530-591);
+  fused kernels can dictionary-encode so only unique strings cross
+  into Python;
+- equality leaves per attribute evaluate as one searchsorted + scatter;
+- list attributes flatten once per batch (flat values + row ids) so
+  every leaf over them is one vectorized membership + segmented
+  reduction — no per-row Python;
+- the interior sweep runs on PACKED bits (np.packbits) level by level
+  with fancy-indexed bitwise AND/OR into persistent reusable buffers:
+  packing cut memory traffic 8x and buffer reuse removed an
+  mmap/munmap storm (30-40% kernel time) — together they took the
+  evaluator from 3x per-process cpu inflation at 32 workers
+  (DRAM-saturated) to ~1.3x;
+- rows are processed in adaptive chunks sized to a memory budget so
+  working sets stay cache-resident.
 """
 
 from __future__ import annotations
@@ -43,11 +49,13 @@ FALSE, UNKNOWN, TRUE = np.uint8(0), np.uint8(1), np.uint8(2)
 DECIMAL_SCALE = 6  # Float attrs are exact decimals at scale 6 (SURVEY §1.2)
 
 
-def _tri_from_bool(result: np.ndarray, null_mask: np.ndarray) -> np.ndarray:
-    out = np.where(result, TRUE, FALSE).astype(np.uint8, copy=False)
+def _true_mask(result: np.ndarray, null_mask: np.ndarray) -> np.ndarray:
+    """TRUE-bit per row: UNKNOWN (null attr) can never contribute a
+    match in NNF+Kleene, so the vectorized layer only tracks truth —
+    the single-row oracle keeps full tri-state for parity tests."""
     if null_mask is not None and null_mask.any():
-        out = np.where(null_mask, UNKNOWN, out)
-    return out
+        return result & ~null_mask
+    return np.asarray(result, dtype=bool)
 
 
 class _ScalarColumn:
@@ -62,9 +70,14 @@ class _ScalarColumn:
 
 
 class _ListColumn:
-    """Flattened once-per-batch representation of a list column."""
+    """Flattened once-per-batch representation of a list column.
 
-    __slots__ = ("mask", "lengths", "row_ids", "flat", "n")
+    ``vids`` (optional) carries pre-computed member-group vocabulary
+    codes aligned with ``flat`` (-1 = not in any literal list), letting
+    Arrow-native kernels dictionary-encode so only unique strings cross
+    into Python."""
+
+    __slots__ = ("mask", "lengths", "row_ids", "flat", "n", "vids")
 
     def __init__(self, series: pd.Series):
         n = len(series)
@@ -88,6 +101,28 @@ class _ListColumn:
             self.flat = np.concatenate(chunks)
         else:
             self.flat = np.empty(0, dtype=np.int64)
+        self.vids = None
+
+    @classmethod
+    def from_parts(
+        cls, mask: np.ndarray, lengths: np.ndarray, flat: np.ndarray,
+        vids: np.ndarray | None = None,
+    ) -> "_ListColumn":
+        """Zero-copy construction from an Arrow ListArray's pieces —
+        used by fused kernels that never materialize pandas lists."""
+        col = cls.__new__(cls)
+        col.n = len(mask)
+        col.mask = mask
+        col.lengths = lengths
+        col.row_ids = np.repeat(np.arange(col.n, dtype=np.int64), lengths)
+        col.flat = flat
+        col.vids = vids
+        return col
+
+
+def scalar_column(mask: np.ndarray, values=None, str_series=None) -> _ScalarColumn:
+    """Public constructor for prepared scalar columns (fused kernels)."""
+    return _ScalarColumn(mask, values, str_series)
 
 
 def _scaled_int_from_decimal_literal(literal: Decimal) -> Fraction:
@@ -178,15 +213,35 @@ class _MemberGroup:
         valid = sorted_keys[pos_clipped] == values
         return valid, sorted_vids[pos_clipped]
 
+    def map_unique(self, unique_values: list) -> np.ndarray:
+        """vocab lookup for a (small) unique-value dictionary; -1 = not
+        in any literal list. Lets fused kernels pass Arrow dictionary
+        indices so only UNIQUE strings ever cross into Python."""
+        return np.array(
+            [self.vocab.get(u, -1) for u in unique_values], dtype=np.int64
+        )
+
+    def evaluate_codes(
+        self, vids: np.ndarray, rows: np.ndarray, mask: np.ndarray, n: int
+    ) -> np.ndarray:
+        """Pre-coded path: vids (-1 = no vocab hit) aligned with rows."""
+        valid = vids >= 0
+        return self._scatter(rows[valid], vids[valid], mask, n)
+
     def evaluate(self, col, n: int) -> np.ndarray:
-        """-> uint8 matrix (n_leaves, n)."""
+        """-> bool TRUE-mask matrix (n_leaves, n)."""
         if self.is_list:
+            if getattr(col, "vids", None) is not None:
+                return self.evaluate_codes(col.vids, col.row_ids, col.mask, n)
             values, rows = col.flat, col.row_ids
         else:
             values, rows = col.values if col.str_series is None else col.str_series.to_numpy(), np.arange(n)
         valid, vids = self._codes(np.asarray(values))
-        occ_rows = rows[valid]
-        occ_vids = vids[valid]
+        return self._scatter(rows[valid], vids[valid], col.mask, n)
+
+    def _scatter(
+        self, occ_rows: np.ndarray, occ_vids: np.ndarray, mask: np.ndarray, n: int
+    ) -> np.ndarray:
 
         hit = np.zeros((self.n_leaves, n), dtype=bool)
         if len(occ_vids):
@@ -204,11 +259,10 @@ class _MemberGroup:
                 pair_rows = np.repeat(occ_rows, counts)
                 hit[pair_leaves, pair_rows] = True
 
-        result = hit ^ self.negated[:, None]
-        out = np.where(result, TRUE, FALSE).astype(np.uint8, copy=False)
-        if col.mask.any():
-            out[:, col.mask] = UNKNOWN
-        return out
+        hit ^= self.negated[:, None]
+        if mask is not None and mask.any():
+            hit[:, mask] = False  # UNKNOWN never matches
+        return hit
 
 
 class BatchEvaluator:
@@ -219,7 +273,7 @@ class BatchEvaluator:
     numpy on Arrow-backed columns.
     """
 
-    def __init__(self, forest: CompiledForest, memory_budget_bytes: int = 8 << 20):
+    def __init__(self, forest: CompiledForest, memory_budget_bytes: int = 16 << 20):
         self.forest = forest
         self.memory_budget = memory_budget_bytes
         self._plan_leaf_groups()
@@ -363,17 +417,16 @@ class BatchEvaluator:
         operand = leaf.operand
 
         if op in (Op.IS_NULL, Op.IS_NOT_NULL):
-            result = col.mask if op is Op.IS_NULL else ~col.mask
-            return np.where(result, TRUE, FALSE).astype(np.uint8, copy=False)
+            return col.mask.copy() if op is Op.IS_NULL else ~col.mask
         if op in (Op.IS_EMPTY, Op.IS_NOT_EMPTY):
             empty = col.lengths == 0
             result = empty if op is Op.IS_EMPTY else ~empty
-            return _tri_from_bool(result, col.mask)
+            return _true_mask(result, col.mask)
 
         if op is Op.VAR:
-            return _tri_from_bool(col.values, col.mask)
+            return _true_mask(col.values, col.mask)
         if op is Op.NVAR:
-            return _tri_from_bool(~col.values, col.mask)
+            return _true_mask(~col.values, col.mask)
 
         if op in (Op.EQ, Op.NE, Op.LT, Op.LE, Op.GT, Op.GE):
             if isinstance(operand, Decimal):
@@ -390,7 +443,7 @@ class BatchEvaluator:
                         result = col.values == int(frac)
                         if op is Op.NE:
                             result = ~result
-                    return _tri_from_bool(result, col.mask)
+                    return _true_mask(result, col.mask)
                 values, literal, op = col.values, threshold, cmp_op
             elif isinstance(operand, str):
                 series = col.str_series
@@ -398,7 +451,7 @@ class BatchEvaluator:
                     result = (series == operand).to_numpy(dtype=bool)
                 else:
                     result = (series != operand).to_numpy(dtype=bool)
-                return _tri_from_bool(result, col.mask)
+                return _true_mask(result, col.mask)
             else:
                 values, literal = col.values, operand
             if op is Op.EQ:
@@ -413,7 +466,7 @@ class BatchEvaluator:
                 result = values > literal
             else:
                 result = values >= literal
-            return _tri_from_bool(result, col.mask)
+            return _true_mask(result, col.mask)
 
         if op in (Op.IN, Op.NOT_IN):
             if isinstance(operand[0], str):
@@ -422,7 +475,7 @@ class BatchEvaluator:
                 result = np.isin(col.values, np.array(operand, dtype=np.int64))
             if op is Op.NOT_IN:
                 result = ~result
-            return _tri_from_bool(result, col.mask)
+            return _true_mask(result, col.mask)
 
         # list operators over the flattened column
         if isinstance(operand[0], str):
@@ -437,11 +490,11 @@ class BatchEvaluator:
         else:  # ALL_OF / NOT_ALL_OF: no non-member elements; empty -> all-of
             violations = np.bincount(col.row_ids[~member], minlength=n_rows) > 0
             result = ~violations if op is Op.ALL_OF else violations
-        return _tri_from_bool(result, col.mask)
+        return _true_mask(result, col.mask)
 
     def _eval_leaves(self, cache: dict, n: int) -> np.ndarray:
         forest = self.forest
-        leaf_values = np.empty((len(forest.leaves), n), dtype=np.uint8)
+        leaf_values = np.empty((len(forest.leaves), n), dtype=bool)
 
         # grouped equality: one searchsorted + scatter per attribute
         for attr_index, sorted_ops, leaf_idxs in self.eq_groups:
@@ -458,10 +511,10 @@ class BatchEvaluator:
                 hit = sorted_ops[pos_clipped] == col.values
                 pos = pos_clipped
             rows = np.arange(n)
-            group_rows = np.full((len(leaf_idxs), n), FALSE, dtype=np.uint8)
-            group_rows[pos[hit], rows[hit]] = TRUE
+            group_rows = np.zeros((len(leaf_idxs), n), dtype=bool)
+            group_rows[pos[hit], rows[hit]] = True
             if col.mask.any():
-                group_rows[:, col.mask] = UNKNOWN
+                group_rows[:, col.mask] = False
             leaf_values[leaf_idxs, :] = group_rows
 
         for group in self.member_groups:
@@ -480,8 +533,9 @@ class BatchEvaluator:
 
     def _chunk_rows(self, n_rows: int) -> int:
         nodes = max(1, self.forest.num_nodes)
-        chunk = self.memory_budget // nodes
-        return int(max(256, min(16384, chunk, max(n_rows, 1))))
+        # packed sweep: nodes x n/8 bytes per buffer
+        chunk = (self.memory_budget * 8) // nodes
+        return int(max(1024, min(32768, chunk, max(n_rows, 1))))
 
     def evaluate(self, pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         """Returns (row_positions, sub_ids): one pair per (row, matching
@@ -502,20 +556,85 @@ class BatchEvaluator:
         return np.concatenate(out_rows), np.concatenate(out_subs)
 
     def _evaluate_chunk(self, pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        forest = self.forest
-        n = len(pdf)
-        cache = self._columns(pdf)
+        return self.evaluate_prepared(self._columns(pdf), len(pdf))
+
+    def _buffers(self, nb: int):
+        """Persistent per-chunk-size work buffers (nb = packed bytes per
+        node row). Without reuse, every level op allocates+frees a
+        multi-MB temp, which glibc serves via mmap/munmap — measured
+        30-40% kernel time across 32 workers from page faulting alone.
+        Leading-axis slices stay C-contiguous, so np.take writes into
+        them directly."""
+        cached = getattr(self, "_buf_cache", None)
+        if cached is None:
+            cached = self._buf_cache = {}
+        bufs = cached.get(nb)
+        if bufs is None:
+            if len(cached) > 4:
+                cached.clear()
+            nn = max(self.forest.num_nodes, 1)
+            n_subs = max(len(self.sub_node_idxs), 1)
+            bufs = cached[nb] = (
+                np.empty((nn, nb), dtype=np.uint8),   # packed node truth bits
+                np.empty((nn, nb), dtype=np.uint8),   # left gather
+                np.empty((nn, nb), dtype=np.uint8),   # right gather
+                np.empty((n_subs, nb), dtype=np.uint8),
+            )
+        return bufs
+
+    def evaluate_prepared(
+        self, cache: dict[int, object], n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Evaluate from prepared column caches (attr_index -> scalar/
+        list column). Fused kernels build these straight from Arrow
+        arrays; callers are responsible for chunking to a cache-friendly
+        n (see _chunk_rows).
+
+        The interior sweep runs on PACKED truth bitsets (1 bit/row, the
+        batch form of the reference's bitset memo, src/evaluation.rs):
+        in NNF, Kleene TRUE propagates monotonically — AND=min and
+        OR=max can never turn UNKNOWN into TRUE — so 'is the node TRUE'
+        is closed under plain bitwise AND/OR of TRUE-bits. Tri-state
+        codes exist only at the leaf layer (null semantics); packing
+        cuts sweep memory traffic 8x, which is the binding resource at
+        32 concurrent workers (measured 3x per-process cpu inflation
+        from DRAM saturation with byte-wide sweeps)."""
         leaf_values = self._eval_leaves(cache, n)
 
-        values = np.empty((forest.num_nodes, n), dtype=np.uint8)
-        values[self.leaf_node_idxs] = leaf_values[self.leaf_of_node]
+        nb = (n + 7) // 8
+        values, gather_a, gather_b, matched = self._buffers(nb)
+
+        # leaf truth bits (leaf layer already collapses UNKNOWN to 0)
+        leaf_bits = np.packbits(leaf_values, axis=1, bitorder="little")
+        np.take(leaf_bits, self.leaf_of_node, axis=0,
+                out=gather_a[: len(self.leaf_of_node)])
+        values[self.leaf_node_idxs] = gather_a[: len(self.leaf_of_node)]
 
         for kind, nodes, left, right in self.levels:
+            k = len(nodes)
+            a = gather_a[:k]
+            b = gather_b[:k]
+            np.take(values, left, axis=0, out=a)
+            np.take(values, right, axis=0, out=b)
             if kind == AND:
-                values[nodes] = np.minimum(values[left], values[right])
+                np.bitwise_and(a, b, out=a)
             else:
-                values[nodes] = np.maximum(values[left], values[right])
+                np.bitwise_or(a, b, out=a)
+            values[nodes] = a
 
-        matched = values[self.sub_node_idxs] == TRUE  # (n_subscribers, n)
-        sub_pos, row_pos = np.nonzero(matched)
-        return row_pos.astype(np.int64), self.sub_ids[sub_pos]
+        k = len(self.sub_node_idxs)
+        np.take(values, self.sub_node_idxs, axis=0, out=matched[:k])
+        # sparse decode: nonzero BYTES first (matches are sparse), then
+        # unpack only those bytes
+        sub_pos, byte_pos = np.nonzero(matched[:k])
+        if len(sub_pos) == 0:
+            return np.empty(0, dtype=np.int64), self.sub_ids[:0]
+        sel = matched[sub_pos, byte_pos]
+        bits = np.unpackbits(sel[:, None], axis=1, bitorder="little").astype(bool)
+        pair_idx, bit_idx = np.nonzero(bits)
+        row_pos = byte_pos[pair_idx] * 8 + bit_idx
+        keep = row_pos < n  # strip pad bits of the last partial byte
+        return (
+            row_pos[keep].astype(np.int64),
+            self.sub_ids[sub_pos[pair_idx][keep]],
+        )

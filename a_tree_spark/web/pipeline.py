@@ -171,20 +171,194 @@ def exact_cell_sub_counts(matches: DataFrame) -> DataFrame:
     )
 
 
+def fused_match_pages(
+    pages: DataFrame,
+    forest: ForestBuilder,
+    level: int = DEFAULT_LEVEL,
+) -> DataFrame:
+    """Single-Python-stage flagship kernel: extract + eventize + match
+    in ONE mapInArrow pass.
+
+    Why fused: chaining mapInArrow(extract) -> JVM projections ->
+    mapInPandas(match) runs TWO Python workers per task — at local[32]
+    that is 128 processes on 32 cores, and the measured pipeline was
+    ~3x SLOWER at 32 threads than at 8. Fusing keeps one worker per
+    task, halves Arrow boundary crossings, and never materializes the
+    intermediate eventized columns. Feature extraction stays in
+    pyarrow's C++ kernels (RE2 regex, split_pattern, list_slice);
+    matching reuses BatchEvaluator via prepared column caches.
+
+    Output: (page_key, cell_id, sub_id) — page_key is a caller-supplied
+    unique id column (e.g. monotonically_increasing_id).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..expr.vector import BatchEvaluator, _ListColumn, scalar_column
+    from ..spatial.cells import cell_id as cell_id_np
+    from .extract import extract_text
+    from .synth import TLD_TABLE
+
+    spark = pages.sparkSession
+    evaluator = BatchEvaluator(forest.compile())
+    bc = spark.sparkContext.broadcast(evaluator)
+
+    centroid_map: dict[str, tuple[float, float]] = {}
+    for t, _lang, clat, clon, _w in TLD_TABLE:
+        centroid_map.setdefault(t.split("-")[-1], (clat, clon))
+
+    names = PAGE_ATTRIBUTES.names()
+    idx = {name: i for i, name in enumerate(names)}
+    token_group = next(
+        (g for g in evaluator.member_groups if g.attr_index == idx["lead_tokens"]),
+        None,
+    )
+    tokens_have_generic_leaves = any(
+        evaluator.forest.leaves[i].attr_index == idx["lead_tokens"]
+        for i in evaluator.generic_leaves
+    )
+    p_pattern = r"(?s)<p>(?P<t>.*?)</p>"
+    geo_pattern = r'geo\.position" content="(?P<glat>-?[0-9.]+);(?P<glon>-?[0-9.]+)"'
+    tld_pattern = r"^https?://[^/]*\.(?P<tld>[a-z]+)/"
+
+    def run(batches):
+        ev = bc.value
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            html = pc.cast(batch.column(batch.schema.get_field_index("html")), pa.string())
+            url = batch.column(batch.schema.get_field_index("url"))
+            page_key = batch.column(batch.schema.get_field_index("page_key")).to_numpy()
+
+            text = pc.fill_null(pc.struct_field(pc.extract_regex(html, p_pattern), "t"), "")
+            multi = pc.greater(pc.count_substring_regex(html, "<p>"), 1)
+            if pc.any(multi).as_py():
+                py_text = text.to_pylist()
+                py_html = html.to_pylist()
+                for i, m in enumerate(multi.to_pylist()):
+                    if m:
+                        py_text[i] = extract_text(py_html[i])
+                text = pa.array(py_text, type=pa.string())
+
+            geo = pc.extract_regex(html, geo_pattern)
+            meta_lat = pc.cast(pc.struct_field(geo, "glat"), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            meta_lon = pc.cast(pc.struct_field(geo, "glon"), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            tld = pc.struct_field(pc.extract_regex(url, tld_pattern), "tld")
+            tld_series = tld.to_pandas()
+            lang_series = batch.column(
+                batch.schema.get_field_index("lang")
+            ).to_pandas()
+
+            toks = pc.split_pattern(text, " ")
+            n_tokens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            lead = pc.list_slice(toks, 0, 8)
+            lead_lengths = pc.list_value_length(lead).to_numpy().astype(np.int64)
+            lead_offsets = np.concatenate([[0], np.cumsum(lead_lengths)])
+            flat_arr = pc.list_flatten(lead)
+            if token_group is not None and not tokens_have_generic_leaves:
+                # dictionary-encode: only UNIQUE tokens become Python
+                # strings; occurrences map through int indices
+                encoded = pc.dictionary_encode(flat_arr)
+                unique_vids = token_group.map_unique(encoded.dictionary.to_pylist())
+                lead_vids = unique_vids[encoded.indices.to_numpy()]
+                lead_flat = None
+            else:
+                lead_vids = None
+                lead_flat = flat_arr.to_numpy(zero_copy_only=False)
+
+            has_geo = ~np.isnan(meta_lat)
+            cent = tld_series.map(centroid_map)
+            cent_lat = np.array(
+                [c[0] if isinstance(c, tuple) else np.nan for c in cent],
+                dtype=np.float64,
+            )
+            cent_lon = np.array(
+                [c[1] if isinstance(c, tuple) else np.nan for c in cent],
+                dtype=np.float64,
+            )
+            lat = np.where(has_geo, meta_lat, cent_lat)
+            lon = np.where(has_geo, meta_lon, cent_lon)
+            no_pos = np.isnan(lat) | np.isnan(lon)
+            cells = cell_id_np(np.nan_to_num(lat), np.nan_to_num(lon), level)
+            lat_band = np.floor((np.nan_to_num(lat) + 90.0) / 10.0).astype(np.int64)
+
+            none_mask = np.zeros(n, dtype=bool)
+            out_rows, out_subs = [], []
+            chunk = ev._chunk_rows(n)
+            for start in range(0, n, chunk):
+                stop = min(start + chunk, n)
+                sl = slice(start, stop)
+                cache = {
+                    idx["lang"]: scalar_column(
+                        lang_series.iloc[sl].isna().to_numpy(),
+                        str_series=lang_series.iloc[sl],
+                    ),
+                    idx["tld"]: scalar_column(
+                        tld_series.iloc[sl].isna().to_numpy(),
+                        str_series=tld_series.iloc[sl],
+                    ),
+                    idx["n_tokens"]: scalar_column(none_mask[sl], n_tokens[sl]),
+                    idx["has_geo"]: scalar_column(none_mask[sl], has_geo[sl]),
+                    idx["lat_band"]: scalar_column(no_pos[sl], lat_band[sl]),
+                    idx["lead_tokens"]: _ListColumn.from_parts(
+                        none_mask[sl],
+                        lead_lengths[sl],
+                        None
+                        if lead_flat is None
+                        else lead_flat[lead_offsets[start]:lead_offsets[stop]],
+                        vids=None
+                        if lead_vids is None
+                        else lead_vids[lead_offsets[start]:lead_offsets[stop]],
+                    ),
+                }
+                rows, subs = ev.evaluate_prepared(cache, stop - start)
+                out_rows.append(rows + start)
+                out_subs.append(subs)
+
+            rows = np.concatenate(out_rows)
+            subs = np.concatenate(out_subs)
+            cell_out = np.where(no_pos[rows], None, cells[rows])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(page_key[rows], type=pa.int64()),
+                    pa.array(cell_out, type=pa.int64()),
+                    pa.array(subs, type=pa.int64()),
+                ],
+                names=["page_key", "cell_id", "sub_id"],
+            )
+
+    return pages.mapInArrow(run, schema="page_key long, cell_id long, sub_id long")
+
+
 def run_pipeline(
     spark,
     n_pages: int,
     n_subscriptions: int,
     level: int = DEFAULT_LEVEL,
-    strategy: str = "vectorized",
+    strategy: str = "fused",
     pages: DataFrame | None = None,
 ) -> DataFrame:
-    """End-to-end: synthesize (or accept) pages, match, aggregate."""
+    """End-to-end: synthesize (or accept) pages, match, aggregate.
+    strategy="fused" (default) uses the single-Python-stage kernel;
+    "vectorized"/"codegen" use the composable eventize->match operators.
+    """
     from .synth import synth_pages_df
 
     if pages is None:
         pages = synth_pages_df(spark, n_pages)
-    eventized = eventize_pages(pages, level)
     forest = build_page_forest(n_subscriptions)
-    matches = match_pages(eventized, forest, strategy=strategy)
+    if strategy == "fused":
+        keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
+        matches = fused_match_pages(keyed, forest, level)
+    else:
+        eventized = eventize_pages(pages, level)
+        matches = match_pages(eventized, forest, strategy=strategy)
     return salted_cell_stats(matches)

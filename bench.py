@@ -26,30 +26,53 @@ def _pages_parquet(spark, n_pages: int, cache_dir: str = "/tmp/spark_graft_bench
     if not os.path.exists(marker):
         from a_tree_spark.web import synth_pages_df
 
-        synth_pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+        # many small files -> plenty of scan splits at any parallelism
+        synth_pages_df(spark, n_pages, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
 def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
     from a_tree_spark.engine.session import get_spark
 
-    spark = get_spark("a_tree_spark-bench", cpus=cpus)
+    # small split size: the bench tables are ~10 MB/file, and the
+    # python match stage needs every core fed — at 100 TB the defaults
+    # (128m) are right, here they'd give a 3-split scan
+    spark = get_spark(
+        "a_tree_spark-bench",
+        cpus=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     import __spark_entry__ as entry_mod
 
+    from pyspark.sql import functions as F
+
     from a_tree_spark.web import build_page_forest, eventize_pages
-    from a_tree_spark.web.pipeline import match_pages, salted_cell_stats
+    from a_tree_spark.web.pipeline import (
+        fused_match_pages,
+        match_pages,
+        salted_cell_stats,
+    )
 
     pages_path = _pages_parquet(spark, n_pages)
     forest = build_page_forest(n_subs)
     forest.compile()  # driver-side compile excluded from the timed run
+
+    def keyed(df):
+        return df.withColumn("page_key", F.monotonically_increasing_id())
 
     # warmup: touch EVERY python worker (imports numpy/pyarrow once per
     # worker process) — a single-partition warmup leaves the rest cold
     pages_small = (
         spark.read.parquet(pages_path).limit(20 * cpus).repartition(2 * cpus)
     )
+    salted_cell_stats(fused_match_pages(keyed(pages_small), forest)).count()
     salted_cell_stats(match_pages(eventize_pages(pages_small), forest)).count()
 
     timings: dict[str, float] = {}
@@ -62,18 +85,21 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         return result
 
     def flagship():
-        # small-file read yields too few splits for the CPU-bound python
-        # stage; repartition to ~2x cores (at 100 TB the scan itself
-        # produces thousands of splits and this is a no-op decision)
-        pages = spark.read.parquet(pages_path).repartition(cpus * 2)
-        return salted_cell_stats(match_pages(eventize_pages(pages), forest)).count()
+        # no repartition: the scan itself yields enough splits (128
+        # files @ 4m split size), so the single python stage reads
+        # straight from the scan with zero shuffles before aggregation
+        pages = spark.read.parquet(pages_path)
+        return salted_cell_stats(fused_match_pages(keyed(pages), forest)).count()
 
-    # steady-state: best of 2 (first run still pays residual JIT/broadcast)
-    timed("web_pipeline", flagship)
-    first = timings["web_pipeline"]
-    timed("web_pipeline", flagship)
-    timings["web_pipeline"] = min(first, timings["web_pipeline"])
-    extras["web_pipeline_cold"] = first
+    # steady-state: best of 4 — the sandbox VM sees intermittent host
+    # CPU steal (2-4x swings on identical runs); min-of-N recovers the
+    # machine's actual capability
+    runs = []
+    for _ in range(4):
+        timed("web_pipeline", flagship)
+        runs.append(timings["web_pipeline"])
+    timings["web_pipeline"] = min(runs)
+    extras["web_pipeline_runs"] = runs
     extras["docs_per_sec"] = round(n_pages / timings["web_pipeline"], 1)
     extras["n_pages"] = n_pages
     extras["n_subscriptions"] = n_subs

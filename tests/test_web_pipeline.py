@@ -105,6 +105,24 @@ def test_subscription_workload_compiles_and_shares():
     assert len(standing_page_subscriptions(2000)) == 2000
 
 
+def test_fused_kernel_equals_composable_pipeline(spark):
+    """The fused single-stage kernel must produce exactly the matches of
+    eventize_pages -> match_pages (same keys, cells, subscriptions)."""
+    from pyspark.sql import functions as F
+    from a_tree_spark.web.pipeline import fused_match_pages
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    forest = build_page_forest(N_SUBS)
+
+    keyed = pages.withColumn("page_key", F.xxhash64("url"))
+    fused = fused_match_pages(keyed, forest)
+    composable = match_pages(eventize_pages(pages), forest)
+
+    a = sorted(map(tuple, fused.select("page_key", "cell_id", "sub_id").collect()))
+    b = sorted(map(tuple, composable.select("page_key", "cell_id", "sub_id").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_cell_skew_exists(spark):
     """The Zipf ccTLD draw must create hot cells (else the salting path
     is untested theater)."""
