@@ -76,8 +76,9 @@ def _q_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from a_tree_spark.engine import spatial_queries as SQ
+    from a_tree_spark.engine.pipeline_queries import PIPELINE_QUERIES
 
-    return {
+    out = {
         "match_vectorized": _q_match_vectorized,
         "match_codegen": _q_match_codegen,
         "match_agg_by_sub": _q_match_agg,
@@ -88,14 +89,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": SQ.q_knn,
         "raster_vector": SQ.q_raster_vector,
     }
+    out.update(PIPELINE_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     from a_tree_spark.engine import spatial_queries as SQ
+    from a_tree_spark.engine.pipeline_queries import PIPELINE_ORACLES
 
     matcher = _matcher_oracle()
     pip = SQ.oracle_point_in_polygon()
-    return {
+    out = dict(PIPELINE_ORACLES)
+    out.update({
         "match_vectorized": matcher,
         "match_codegen": matcher,
         "match_agg_by_sub": (
@@ -109,4 +114,5 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon_pandas": pip,
         "knn": SQ.oracle_knn(),
         "raster_vector": SQ.oracle_raster_vector(),
-    }
+    })
+    return out

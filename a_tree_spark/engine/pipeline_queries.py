@@ -1,0 +1,95 @@
+"""Training-data pipeline queries over the driver tables, each paired
+with its DuckDB oracle (or flagged rows-only where SQL can't express the
+op — simhash bit twiddling, binary feature extraction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline import dedup, multimodal, similarity
+from ..pipeline.text import text_features, text_features_oracle_sql
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_features(_documents(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(dedup.corpus_with_dups(_documents(spark, sf_dir)))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(dedup.corpus_with_dups(_documents(spark, sf_dir)))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(dedup.corpus_with_dups(_documents(spark, sf_dir)))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check; exact values pinned in pytest vs the
+    # pure-python oracle (bit ops are not portable SQL)
+    return dedup.simhash_signatures(dedup.corpus_with_dups(_documents(spark, sf_dir)))
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_embeddings(spark, sf_dir))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_embeddings(spark, sf_dir))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(_embeddings(spark, sf_dir))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_metadata(_documents(spark, sf_dir))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: binary decode features (stubbed codec), pytest-pinned
+    media = multimodal.media_table(_documents(spark, sf_dir))
+    return multimodal.extract_media_features(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_table(_documents(spark, sf_dir))
+    return multimodal.sample_frames(media)
+
+
+PIPELINE_QUERIES = {
+    "text_features": q_text_features,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_brute_force": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
+    "media_frame_sample": q_frame_sample,
+}
+
+PIPELINE_ORACLES = {
+    "text_features": text_features_oracle_sql(),
+    "dedup_exact": dedup.exact_duplicates_oracle(),
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
+    "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+    # dedup_simhash: rows-only (bit ops not portable SQL)
+    "ann_brute_force": similarity.brute_force_oracle(),
+    "ann_lsh": similarity.lsh_topk_oracle(),
+    "embedding_near_dup": similarity.embedding_near_dup_oracle(),
+    "media_metadata": multimodal.media_metadata_oracle(),
+    # media_features / media_frame_sample: rows-only (binary payloads)
+}

@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All SQL-parity variants are built from fragments valid in both Spark SQL
+and DuckDB so the driver's oracle checks them exactly:
+
+- exact: md5 fingerprint group-by (one shuffle, map-side combined);
+- n-gram Jaccard: word 3-gram shingles -> shingle equi-join ->
+  integer-exact Jaccard filter (5*inter >= 4*union, no float compare);
+- MinHash+LSH: per-seed min of md5(seed||shingle) — the minimum of a
+  cryptographic hex string is a valid uniform MinHash and compares
+  identically everywhere; band keys bucket the candidates, then the
+  exact integer Jaccard verifies (classic verify-after-LSH);
+- SimHash: bit-majority over shingle hashes — numpy/mapInPandas path
+  (bit twiddling doesn't port to portable SQL), pytest-oracle only.
+
+Since the driver corpus has no duplicates, dedup queries run over
+``corpus_with_dups`` — a derived corpus that plants exact and near
+duplicates deterministically INSIDE the query, identically in both
+engines.
+
+Scale notes (100 TB): the shingle join explodes on stop-shingles, so
+shingles above a document-frequency cap are dropped on BOTH sides of
+the comparison (standard practice); at 1e12 docs the band-bucket join
+is the only shuffle whose keys need salting (bucket sizes are bounded
+by the band width, so AQE skew-join covers it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_SEEDS = 6
+LSH_BANDS = 3          # 2 seeds per band
+JACCARD_NUM, JACCARD_DEN = 7, 10   # keep pairs with jaccard >= 0.7
+MAX_SHINGLE_DF = 50    # drop shingles appearing in more docs than this
+
+
+# ---------------------------------------------------------- derived corpus
+
+CORPUS_WITH_DUPS_SQL = """
+SELECT doc_id, text FROM {table}
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM {table} WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id,
+       substr(text, instr(text, ' ') + 1) AS text
+FROM {table} WHERE doc_id % 7 = 0
+""".strip()
+
+
+def corpus_with_dups(documents: DataFrame) -> DataFrame:
+    documents.createOrReplaceTempView("_dedup_base")
+    return documents.sparkSession.sql(
+        CORPUS_WITH_DUPS_SQL.format(table="_dedup_base")
+    )
+
+
+def corpus_cte(table: str = "documents") -> str:
+    return CORPUS_WITH_DUPS_SQL.format(table=table)
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(corpus: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: duplicate groups with representative."""
+    return (
+        corpus.groupBy(F.expr("md5(text)").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicates_oracle(table: str = "documents") -> str:
+    return f"""
+WITH corpus AS ({corpus_cte(table)})
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+""".strip()
+
+
+# ---------------------------------------------------------------- shingles
+
+SPARK_SHINGLES = """
+SELECT doc_id, explode(
+    CASE WHEN size(w) < 3 THEN array()
+         ELSE array_distinct(transform(
+             sequence(0, size(w) - 3),
+             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])))
+    END
+) AS shingle
+FROM (SELECT doc_id, split(text, ' ') AS w FROM {corpus})
+""".strip()
+
+DUCK_SHINGLES = """
+SELECT doc_id, unnest(list_distinct([
+    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+    for i in generate_series(1, greatest(len(w) - 2, 0))
+])) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {corpus})
+""".strip()
+
+
+def _shingles_df(corpus: DataFrame) -> DataFrame:
+    corpus.createOrReplaceTempView("_dedup_corpus")
+    return corpus.sparkSession.sql(SPARK_SHINGLES.format(corpus="_dedup_corpus"))
+
+
+def _rare_shingles(corpus: DataFrame) -> DataFrame:
+    """Shingle the corpus and drop stop-shingles (document frequency
+    cap) — the skew guard."""
+    shingles = _shingles_df(corpus)
+    df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return shingles.join(
+        df_counts.where(F.col("_df") <= MAX_SHINGLE_DF), "shingle"
+    ).select("doc_id", "shingle")
+
+
+_RARE_SHINGLES_CTE = """
+shingles AS ({shingles}),
+rare AS (
+    SELECT doc_id, shingle FROM shingles
+    WHERE shingle IN (
+        SELECT shingle FROM shingles GROUP BY shingle
+        HAVING COUNT(*) <= {max_df}
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id)
+""".strip()
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+
+def ngram_jaccard_pairs(corpus: DataFrame) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.7, integer-exact.
+
+    Plan: shingle explode -> DF cap -> self equi-join on shingle (the
+    single big shuffle; AQE skew-join handles residual hot shingles) ->
+    per-pair intersection counts -> join per-doc sizes -> integer filter.
+    """
+    rare = _rare_shingles(corpus).cache()
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    left = rare.withColumnRenamed("doc_id", "doc_a")
+    right = rare.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sized = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    return sized.where(
+        F.col("n_inter") * JACCARD_DEN
+        >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * JACCARD_NUM
+    ).select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+
+
+def ngram_jaccard_oracle(table: str = "documents") -> str:
+    cte = _RARE_SHINGLES_CTE.format(
+        shingles=DUCK_SHINGLES.format(corpus="corpus"), max_df=MAX_SHINGLE_DF
+    )
+    return f"""
+WITH corpus AS ({corpus_cte(table)}),
+{cte},
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM rare a JOIN rare b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
+""".strip()
+
+
+# ------------------------------------------------------- minhash + LSH
+
+
+def _minhash_agg_columns() -> list:
+    return [
+        F.min(F.expr(f"md5(concat('{seed}|', shingle))")).alias(f"mh{seed}")
+        for seed in range(MINHASH_SEEDS)
+    ]
+
+
+def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """Candidate pairs via banded MinHash, verified with exact Jaccard.
+
+    The signature min(md5(seed||shingle)) is a uniform MinHash over hex
+    strings and is engine-portable. Bands of 2 signatures hash to a
+    bucket key; same-bucket pairs are candidates; the exact integer
+    Jaccard filter (same as ngram_jaccard_pairs) removes false
+    positives, so the output is deterministic (verify-after-LSH).
+    """
+    rare = _rare_shingles(corpus).cache()
+    signatures = rare.groupBy("doc_id").agg(*_minhash_agg_columns())
+    per_band = MINHASH_SEEDS // LSH_BANDS
+    bands = []
+    for band in range(LSH_BANDS):
+        sig_cols = [f"mh{band * per_band + j}" for j in range(per_band)]
+        bands.append(
+            signatures.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.expr("md5(concat(" + ", '|', ".join(sig_cols) + "))").alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    left = buckets.withColumnRenamed("doc_id", "doc_a")
+    right = buckets.withColumnRenamed("doc_id", "doc_b")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pair_shingles = (
+        candidates.join(rare.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("shingle", "sh_a")
+        .join(
+            rare.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("shingle", "sh_b"),
+            "doc_b",
+        )
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sized = (
+        pair_shingles.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                           .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    return sized.where(
+        F.col("n_inter") * JACCARD_DEN
+        >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * JACCARD_NUM
+    ).select("doc_a", "doc_b", "n_inter")
+
+
+def minhash_lsh_oracle(table: str = "documents") -> str:
+    sig_select = ", ".join(
+        f"MIN(md5('{seed}|' || shingle)) AS mh{seed}"
+        for seed in range(MINHASH_SEEDS)
+    )
+    per_band = MINHASH_SEEDS // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        sig_cols = [f"mh{band * per_band + j}" for j in range(per_band)]
+        joined = " || '|' || ".join(sig_cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({joined}) AS bucket FROM signatures"
+        )
+    buckets_union = " UNION ALL ".join(band_selects)
+    cte = _RARE_SHINGLES_CTE.format(
+        shingles=DUCK_SHINGLES.format(corpus="corpus"), max_df=MAX_SHINGLE_DF
+    )
+    return f"""
+WITH corpus AS ({corpus_cte(table)}),
+{cte},
+signatures AS (SELECT doc_id, {sig_select} FROM rare GROUP BY doc_id),
+buckets AS ({buckets_union}),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT doc_a, doc_b, COUNT(*) AS n_inter
+    FROM candidates
+    JOIN rare ra ON ra.doc_id = doc_a
+    JOIN rare rb ON rb.doc_id = doc_b AND rb.shingle = ra.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
+""".strip()
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash_signatures(corpus: DataFrame) -> DataFrame:
+    """64-bit SimHash per document via numpy bit-majority over word
+    hashes (mapInPandas — portable SQL can't bit-twiddle, so the driver
+    check is rows-only and pytest pins the values against the pure-
+    python oracle ``simhash_oracle``)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out_ids.append(doc_id)
+                out_sigs.append(simhash_oracle(text))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+    return corpus.mapInPandas(run, schema="doc_id bigint, simhash bigint")
+
+
+def simhash_oracle(text: str) -> int:
+    """Deterministic 64-bit SimHash (pure python, the test oracle)."""
+    import hashlib
+
+    votes = [0] * 64
+    for word in set(text.split(" ")):
+        digest = hashlib.md5(word.encode()).digest()
+        word_hash = int.from_bytes(digest[:8], "big")
+        for bit in range(64):
+            votes[bit] += 1 if (word_hash >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            sig |= 1 << bit
+    return sig - (1 << 64) if sig >= (1 << 63) else sig

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both with exact relational oracles:
+
+- brute-force cosine/dot top-k: the baseline. The dot product is
+  emitted as ONE explicit left-associated sum expression over the 64
+  dims — identical IEEE evaluation order in Spark and DuckDB, so even
+  the float values match bit-for-bit (ranks certainly do; ties break
+  by neighbor id);
+- LSH-bucketed ANN (the scale path): deterministic rational hyperplanes
+  -> sign-bit bucket -> same-bucket candidates -> exact rerank. The
+  oracle runs the same LSH logic, so the check pins the algorithm, not
+  a coincidence. At 1e12 rows the bucket join replaces the quadratic
+  crossJoin with one shuffle on bucket keys.
+
+The brute-force side broadcasts the (small) query set; Catalyst turns
+the crossJoin into BroadcastNestedLoopJoin — no shuffle at any scale,
+O(n_queries) work per row, then a top-k window per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+EMBED_DIM = 64
+N_PLANES = 8
+DEFAULT_K = 5
+
+
+def _dot_sql(a: str, b: str, one_based: bool) -> str:
+    """Explicit left-assoc sum — identical fold order in both engines."""
+    offset = 1 if one_based else 0
+    terms = [
+        f"CAST({a}[{i + offset}] AS DOUBLE) * CAST({b}[{i + offset}] AS DOUBLE)"
+        for i in range(EMBED_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random integer weights for LSH hyperplanes
+    (rational constants — exact in both engines)."""
+    return ((plane * 73856093 + dim * 19349663 + 7) % 2001) - 1000
+
+
+def _plane_sign_sql(emb: str, plane: int, one_based: bool) -> str:
+    offset = 1 if one_based else 0
+    terms = [
+        f"CAST({emb}[{d + offset}] AS DOUBLE) * {_plane_weight(plane, d)}"
+        for d in range(EMBED_DIM)
+    ]
+    return f"(CASE WHEN ({' + '.join(terms)}) >= 0 THEN 1 ELSE 0 END)"
+
+
+def bucket_sql(emb: str, one_based: bool) -> str:
+    """N_PLANES sign bits packed into one integer bucket key."""
+    terms = [
+        f"{_plane_sign_sql(emb, p, one_based)} * {1 << p}" for p in range(N_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+N_QUERIES = 20
+
+
+def _queries(embeddings: DataFrame) -> DataFrame:
+    return embeddings.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"),
+    )
+
+
+def brute_force_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Exact dot-product top-k per query (broadcast nested loop)."""
+    queries = _queries(embeddings)
+    joined = embeddings.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.withColumn("dot", F.expr(_dot_sql("embedding", "q", False)))
+    window = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def brute_force_oracle(k: int = DEFAULT_K, table: str = "embeddings") -> str:
+    dot = _dot_sql("e.embedding", "q.embedding", True)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM {table} WHERE vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id ORDER BY {dot} DESC, e.vec_id
+           ) AS BIGINT) AS rank
+    FROM {table} e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+) WHERE rank <= {k}
+""".strip()
+
+
+def lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """ANN: hyperplane-LSH bucket join + exact rerank inside buckets."""
+    with_bucket = embeddings.withColumn(
+        "bucket", F.expr(bucket_sql("embedding", False))
+    )
+    queries = _queries(embeddings).withColumn(
+        "bucket", F.expr(bucket_sql("q", False))
+    )
+    candidates = with_bucket.join(F.broadcast(queries), "bucket").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = candidates.withColumn("dot", F.expr(_dot_sql("embedding", "q", False)))
+    window = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def lsh_topk_oracle(k: int = DEFAULT_K, table: str = "embeddings") -> str:
+    dot = _dot_sql("e.embedding", "q.embedding", True)
+    e_bucket = bucket_sql("e.embedding", True)
+    q_bucket = bucket_sql("q.embedding", True)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM {table} WHERE vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id ORDER BY {dot} DESC, e.vec_id
+           ) AS BIGINT) AS rank
+    FROM {table} e JOIN q ON {e_bucket} = {q_bucket}
+    WHERE e.vec_id <> q.query_id
+) WHERE rank <= {k}
+""".strip()
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold_x1m: int = 990000) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold, LSH-bucketed.
+
+    Cosine compare is done in integer-free exact form: dot*|a||b| compare
+    avoided by comparing dot^2 * 1e12 >= t^2 * (|a|^2 |b|^2) with
+    doubles — deterministic since both engines evaluate the identical
+    expression; output carries ids only."""
+    with_bucket = embeddings.withColumn(
+        "bucket", F.expr(bucket_sql("embedding", False))
+    )
+    left = with_bucket.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    right = with_bucket.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
+    dot = F.expr(_dot_sql("ea", "eb", False))
+    norm_a = F.expr(_dot_sql("ea", "ea", False))
+    norm_b = F.expr(_dot_sql("eb", "eb", False))
+    t = threshold_x1m / 1e6
+    return pairs.where(
+        (dot > 0) & (dot * dot >= F.lit(t * t) * norm_a * norm_b)
+    ).select("id_a", "id_b")
+
+
+def embedding_near_dup_oracle(threshold_x1m: int = 990000, table: str = "embeddings") -> str:
+    dot = _dot_sql("a.embedding", "b.embedding", True)
+    norm_a = _dot_sql("a.embedding", "a.embedding", True)
+    norm_b = _dot_sql("b.embedding", "b.embedding", True)
+    a_bucket = bucket_sql("a.embedding", True)
+    b_bucket = bucket_sql("b.embedding", True)
+    t = threshold_x1m / 1e6
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM {table} a JOIN {table} b
+  ON {a_bucket} = {b_bucket} AND a.vec_id < b.vec_id
+WHERE {dot} > 0 AND {dot} * {dot} >= {t!r} * {t!r} * ({norm_a}) * ({norm_b})
+""".strip()

@@ -1,0 +1,111 @@
+"""Text-analysis operators over document tables: language-ID, quality
+scoring, token statistics, fingerprinting.
+
+Every operator is expressed as a SQL fragment valid in BOTH Spark SQL
+and DuckDB (length/replace/md5/substr/lower semantics are identical),
+so each query ships with an exact relational oracle and stays entirely
+inside whole-stage codegen — zero Python in these paths at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker-token occurrence count via the length/replace trick: identical
+# arithmetic in Spark SQL and DuckDB, no regex dialect risk
+def _count_occurrences(col: str, needle: str) -> str:
+    needle_sql = needle.replace("'", "''")
+    return (
+        # FLOOR before the cast: CAST(double AS BIGINT) rounds in DuckDB
+        # but truncates in Spark; FLOOR makes them agree
+        f"CAST(FLOOR((length({col}) - length(replace({col}, '{needle_sql}', ''))) "
+        f"/ {len(needle)}) AS BIGINT)"
+    )
+
+
+# language marker words (synthetic corpora carry an English-ish token
+# soup; the heuristic is deterministic, which is what the oracle checks)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " los ", " de la "],
+    "zh": [" zh ", " shi ", " de "],
+}
+
+
+def lang_score_sql(lang: str, col: str = "text") -> str:
+    padded = f"(' ' || lower({col}) || ' ')"
+    terms = [_count_occurrences(padded, m) for m in LANG_MARKERS[lang]]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """argmax over language scores, deterministic first-wins tie-break.
+    The GREATEST is inlined per branch (no correlated subquery — those
+    don't port across dialects in a projection)."""
+    scores = {lang: lang_score_sql(lang, col) for lang in LANG_MARKERS}
+    greatest = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"(CASE {whens} END)"
+
+
+N_TOKENS_SQL = (
+    "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE "
+    "length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT)"
+)
+N_PERIODS_SQL = _count_occurrences("text", ".")
+N_STOPWORDS_SQL = (
+    "(" + " + ".join(
+        _count_occurrences("(' ' || text || ' ')", f" {w} ")
+        for w in ["the", "a", "and", "of"]
+    ) + ")"
+)
+FINGERPRINT_SQL = "substr(md5(text), 1, 16)"
+
+
+def quality_components_sql() -> dict[str, str]:
+    """Integer-exact components; ratios derive with one division."""
+    return {
+        "n_chars_measured": "CAST(length(text) AS BIGINT)",
+        "n_tokens": N_TOKENS_SQL,
+        "n_periods": N_PERIODS_SQL,
+        "n_stopwords": N_STOPWORDS_SQL,
+        "mean_token_len_x100": (
+            f"CAST(CASE WHEN {N_TOKENS_SQL} = 0 THEN 0 ELSE "
+            f"FLOOR((length(replace(text, ' ', '')) * 100) / {N_TOKENS_SQL}) "
+            f"END AS BIGINT)"
+        ),
+        "stopword_ratio_x1000": (
+            f"CAST(CASE WHEN {N_TOKENS_SQL} = 0 THEN 0 ELSE "
+            f"FLOOR(({N_STOPWORDS_SQL} * 1000) / {N_TOKENS_SQL}) END AS BIGINT)"
+        ),
+    }
+
+
+IS_QUALITY_SQL = (
+    f"({N_TOKENS_SQL} >= 20 AND {N_STOPWORDS_SQL} * 1000 >= {N_TOKENS_SQL} * 20)"
+)
+
+
+def text_features(documents: DataFrame) -> DataFrame:
+    """doc_id + all text-analysis columns, pure Catalyst expressions."""
+    components = quality_components_sql()
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    cols.append(F.expr(lang_id_sql()).alias("lang_id"))
+    for name, sql in components.items():
+        cols.append(F.expr(sql).alias(name))
+    cols.append(F.expr(IS_QUALITY_SQL).alias("is_quality"))
+    cols.append(F.expr(FINGERPRINT_SQL).alias("fingerprint"))
+    return documents.select(*cols)
+
+
+def text_features_oracle_sql(table: str = "documents") -> str:
+    components = quality_components_sql()
+    select = ["doc_id", "lang AS labeled_lang", f"{lang_id_sql()} AS lang_id"]
+    select += [f"{sql} AS {name}" for name, sql in components.items()]
+    select.append(f"{IS_QUALITY_SQL} AS is_quality")
+    select.append(f"{FINGERPRINT_SQL} AS fingerprint")
+    return f"SELECT {', '.join(select)} FROM {table}"

@@ -1,0 +1,61 @@
+"""Structured Streaming variant of the matcher (SURVEY.md §2.4 bottom
+row): micro-batches reuse the exact batch matcher via foreachBatch, so
+streaming and batch semantics are identical by construction — the
+reference's event-at-a-time search becomes match-per-micro-batch.
+
+Watermarking on the event-time column bounds state for windowed
+downstream aggregations; the match stage itself is stateless (the
+broadcast forest is the only state, owned by the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..engine.matcher import match_events
+from ..expr import ForestBuilder
+
+
+def match_stream(
+    stream: DataFrame,
+    forest: ForestBuilder,
+    sink,
+    event_id_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """stream: a readStream DataFrame with the attribute columns.
+    sink: fn(matches_df, batch_id) — e.g. write to a table/topic.
+    Returns the started StreamingQuery."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = match_events(batch_df, forest, event_id_col=event_id_col)
+        sink(matches, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_match_counts(
+    stream: DataFrame,
+    forest: ForestBuilder,
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Stateful variant: per-(window, sub_id) match counts with a
+    watermark so late events older than the watermark are dropped and
+    state stays bounded. Use with writeStream in update/append mode."""
+    with_ts = stream.withWatermark(ts_col, watermark)
+    matches = match_events(
+        with_ts, forest, event_id_col=event_id_col, carry_cols=[ts_col]
+    )
+    return matches.groupBy(
+        F.window(F.col(ts_col), window).alias("time_window"),
+        F.col("sub_id"),
+    ).agg(F.count("*").alias("n_matches"))

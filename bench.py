@@ -114,6 +114,13 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         "point_in_polygon",
         "knn",
         "raster_vector",
+        "text_features",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "ann_brute_force",
+        "ann_lsh",
+        "media_features",
     ]:
         if name in queries:
             timed(name, lambda name=name: queries[name](spark, sf_dir).count())
