@@ -78,50 +78,66 @@ _STRING_RE = re.compile(r"\"(\\.|[^\"\\])*\"|'(\\.|[^'\\])*'")
 _WS_RE = re.compile(r"[ \t\n\r\f]+")
 
 
+# first-character dispatch: only try the keywords that can start here
+# (compile-path hot loop — 1e5-expression forests lex ~1e7 tokens)
+_KW_BY_CHAR: dict = {}
+for _lit, _kind in _KEYWORDS:
+    _KW_BY_CHAR.setdefault(_lit[0], []).append((_lit, _kind))
+_IDENT_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
+_NUM_START = set("0123456789-")
+_WS = set(" \t\n\r\f")
+
+
 def tokenize(text: str) -> Iterator[Token]:
     pos = 0
     n = len(text)
     while pos < n:
-        ws = _WS_RE.match(text, pos)
-        if ws:
-            pos = ws.end()
+        c = text[pos]
+        if c in _WS:
+            pos = _WS_RE.match(text, pos).end()
             if pos >= n:
                 break
+            c = text[pos]
 
-        candidates: list[tuple[int, str, object]] = []  # (len, kind, value)
+        candidates = []  # (len, kind, value)
 
-        for literal, kind in _KEYWORDS:
+        for literal, kind in _KW_BY_CHAR.get(c, ()):
             if text.startswith(literal, pos):
-                value: object = literal
-                if kind == "BOOLEAN":
-                    value = literal == "true"
+                value = literal == "true" if kind == "BOOLEAN" else literal
                 candidates.append((len(literal), kind, value))
-                break  # keywords are longest-first; first hit is the longest
+                break  # per-char keyword lists stay longest-first
 
-        m = _IDENT_RE.match(text, pos)
-        if m:
-            candidates.append((len(m.group()), "IDENT", m.group()))
-
-        m = _FLOAT_RE.match(text, pos)
-        if m:
-            candidates.append((len(m.group()), "FLOAT", Decimal(m.group())))
-        else:
-            m = _INT_RE.match(text, pos)
+        if c in _IDENT_START:
+            ident = _IDENT_RE.match(text, pos).group()
+            if not candidates:
+                yield Token("IDENT", ident, pos)
+                pos += len(ident)
+                continue
+            candidates.append((len(ident), "IDENT", ident))
+        elif c in _NUM_START:
+            m = _FLOAT_RE.match(text, pos)
             if m:
-                candidates.append((len(m.group()), "INTEGER", int(m.group())))
-
-        m = _STRING_RE.match(text, pos)
-        if m:
-            # Reference trims *all* leading/trailing quote chars and keeps
-            # escape sequences raw (src/lexer.rs:72, test :319-332).
-            candidates.append((len(m.group()), "STRING", m.group().strip("'\"")))
+                candidates.append((len(m.group()), "FLOAT", Decimal(m.group())))
+            else:
+                m = _INT_RE.match(text, pos)
+                if m:
+                    candidates.append((len(m.group()), "INTEGER", int(m.group())))
+        elif c in "'\"":
+            m = _STRING_RE.match(text, pos)
+            if m:
+                # Reference trims *all* leading/trailing quote chars and keeps
+                # escape sequences raw (src/lexer.rs:72, test :319-332).
+                candidates.append((len(m.group()), "STRING", m.group().strip("'\"")))
 
         if not candidates:
             raise LexicalError(f"invalid token at position {pos}: {text[pos:pos+10]!r}")
 
-        # Longest match wins; ties go to the keyword (listed first).
-        best_len = max(c[0] for c in candidates)
-        length, kind, value = next(c for c in candidates if c[0] == best_len)
+        if len(candidates) == 1:
+            length, kind, value = candidates[0]
+        else:
+            # Longest match wins; ties go to the keyword (listed first).
+            best_len = max(c[0] for c in candidates)
+            length, kind, value = next(c for c in candidates if c[0] == best_len)
         yield Token(kind, value, pos)
         pos += length
 
