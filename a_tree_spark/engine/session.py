@@ -34,6 +34,16 @@ def get_spark(
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 << 20))
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(64 << 20))
 
+    # Make the package importable in executor python workers regardless
+    # of the launch directory (broadcast evaluators unpickle there). On
+    # a cluster --py-files does this; locally PYTHONPATH is inherited.
+    package_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if package_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = (
+            f"{package_root}:{existing}" if existing else package_root
+        )
+
     if shuffle_partitions is None:
         # ~2x cores: enough parallelism for local mode without tiny-task
         # overhead; on a real cluster AQE coalesces these at runtime.

@@ -1,3 +1,3 @@
-from .match_stream import match_stream, windowed_match_counts
+from .match_stream import match_stream, stateful_match_totals, windowed_match_counts
 
-__all__ = ["match_stream", "windowed_match_counts"]
+__all__ = ["match_stream", "stateful_match_totals", "windowed_match_counts"]

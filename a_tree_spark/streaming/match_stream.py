@@ -40,6 +40,49 @@ def match_stream(
     return writer.start()
 
 
+def stateful_match_totals(
+    matches_stream: DataFrame,
+    emit_sink,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-subscription cumulative match totals across micro-
+    batches — state survives between triggers via the state store,
+    the pattern for any custom accumulator the built-in windowed
+    aggregations can't express.
+
+    matches_stream: a *streaming* DataFrame with a sub_id column (e.g.
+    produced inside foreachBatch is not allowed — feed the eventized
+    stream through match_events first; match_events is stream-safe
+    because mapInPandas is stateless).
+    emit_sink: fn(totals_df, batch_id) for foreachBatch-free testing we
+    instead return the writer; see tests.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        new_matches = 0
+        for pdf in pdfs:
+            new_matches += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += new_matches
+        state.update((total,))
+        yield pd.DataFrame({
+            "sub_id": [key[0]],
+            "total_matches": [total],
+            "batch_matches": [new_matches],
+        })
+
+    return matches_stream.groupBy("sub_id").applyInPandasWithState(
+        update,
+        outputStructType="sub_id bigint, total_matches bigint, batch_matches bigint",
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_match_counts(
     stream: DataFrame,
     forest: ForestBuilder,
