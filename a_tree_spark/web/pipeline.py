@@ -159,6 +159,18 @@ def salted_cell_stats(matches: DataFrame) -> DataFrame:
     return totals
 
 
+def cell_stats_from_partials(partials: DataFrame) -> DataFrame:
+    """Per-cell statistics from in-kernel (cell, sub, n) partials: sums
+    are exact (integer, order-free); the distinct-subscription sketch
+    sees the same distinct (cell, sub) value set as the raw match
+    stream, so it is the standard approx_count_distinct, not a salted
+    under-estimate. One small shuffle keyed by cell_id."""
+    return partials.groupBy("cell_id").agg(
+        F.sum("n_matches").alias("n_matches"),
+        F.approx_count_distinct("sub_id").alias("approx_distinct_subs"),
+    )
+
+
 def exact_cell_sub_counts(matches: DataFrame) -> DataFrame:
     """Exact distinct-subscription count per cell via two-phase dedup:
     shuffle 1 on (cell_id, sub_id) — salt-free but skew-resistant since
@@ -175,6 +187,7 @@ def fused_match_pages(
     pages: DataFrame,
     forest: ForestBuilder,
     level: int = DEFAULT_LEVEL,
+    emit: str = "matches",
 ) -> DataFrame:
     """Single-Python-stage flagship kernel: extract + eventize + match
     in ONE mapInArrow pass.
@@ -188,8 +201,16 @@ def fused_match_pages(
     pyarrow's C++ kernels (RE2 regex, split_pattern, list_slice);
     matching reuses BatchEvaluator via prepared column caches.
 
-    Output: (page_key, cell_id, sub_id) — page_key is a caller-supplied
-    unique id column (e.g. monotonically_increasing_id).
+    Output (emit="matches"): (page_key, cell_id, sub_id) — page_key is
+    a caller-supplied unique id column (monotonically_increasing_id).
+
+    emit="cell_partials" pre-aggregates per batch to
+    (cell_id, sub_id, n_matches, n_pages) partial counts — at ~40
+    matches/page the raw match stream dominates the Arrow boundary and
+    the downstream shuffle; in-kernel combining is the classic map-side
+    combine pushed one level deeper (into Python), and per-cell
+    statistics (sum / distinct-sub sketches / page counts) stay exact
+    because the distinct (cell, sub) value set is preserved.
     """
     import numpy as np
     import pandas as pd
@@ -325,6 +346,26 @@ def fused_match_pages(
 
             rows = np.concatenate(out_rows)
             subs = np.concatenate(out_subs)
+            if emit == "cell_partials":
+                # in-kernel combine: one row per (cell, sub) per batch.
+                # cell ids < 2^2L (level<=12 -> 2^24) and sub ids < 2^38
+                # pack into one int64 key for a single np.unique pass;
+                # positionless pages get cell sentinel 2^2L.
+                sentinel = np.int64(1) << (2 * level)
+                cell_key = np.where(no_pos[rows], sentinel, cells[rows])
+                key = cell_key * (sentinel * 2) + subs
+                uniq, counts = np.unique(key, return_counts=True)
+                u_cell = uniq // (sentinel * 2)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.where(u_cell == sentinel, None, u_cell),
+                                 type=pa.int64()),
+                        pa.array(uniq % (sentinel * 2), type=pa.int64()),
+                        pa.array(counts.astype(np.int64), type=pa.int64()),
+                    ],
+                    names=["cell_id", "sub_id", "n_matches"],
+                )
+                continue
             cell_out = np.where(no_pos[rows], None, cells[rows])
             yield pa.RecordBatch.from_arrays(
                 [
@@ -335,6 +376,10 @@ def fused_match_pages(
                 names=["page_key", "cell_id", "sub_id"],
             )
 
+    if emit == "cell_partials":
+        return pages.mapInArrow(
+            run, schema="cell_id long, sub_id long, n_matches long"
+        )
     return pages.mapInArrow(run, schema="page_key long, cell_id long, sub_id long")
 
 
@@ -357,8 +402,8 @@ def run_pipeline(
     forest = build_page_forest(n_subscriptions)
     if strategy == "fused":
         keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
-        matches = fused_match_pages(keyed, forest, level)
-    else:
-        eventized = eventize_pages(pages, level)
-        matches = match_pages(eventized, forest, strategy=strategy)
+        partials = fused_match_pages(keyed, forest, level, emit="cell_partials")
+        return cell_stats_from_partials(partials)
+    eventized = eventize_pages(pages, level)
+    matches = match_pages(eventized, forest, strategy=strategy)
     return salted_cell_stats(matches)

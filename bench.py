@@ -55,6 +55,7 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
 
     from a_tree_spark.web import build_page_forest, eventize_pages
     from a_tree_spark.web.pipeline import (
+        cell_stats_from_partials,
         fused_match_pages,
         match_pages,
         salted_cell_stats,
@@ -72,7 +73,9 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
     pages_small = (
         spark.read.parquet(pages_path).limit(20 * cpus).repartition(2 * cpus)
     )
-    salted_cell_stats(fused_match_pages(keyed(pages_small), forest)).count()
+    cell_stats_from_partials(
+        fused_match_pages(keyed(pages_small), forest, emit="cell_partials")
+    ).count()
     salted_cell_stats(match_pages(eventize_pages(pages_small), forest)).count()
 
     timings: dict[str, float] = {}
@@ -89,7 +92,8 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         # files @ 4m split size), so the single python stage reads
         # straight from the scan with zero shuffles before aggregation
         pages = spark.read.parquet(pages_path)
-        return salted_cell_stats(fused_match_pages(keyed(pages), forest)).count()
+        partials = fused_match_pages(keyed(pages), forest, emit="cell_partials")
+        return cell_stats_from_partials(partials).count()
 
     # steady-state: best of 4 — the sandbox VM sees intermittent host
     # CPU steal (2-4x swings on identical runs); min-of-N recovers the

@@ -33,7 +33,7 @@ def main() -> None:
     from bench import _pages_parquet
     from a_tree_spark.engine.session import get_spark
     from a_tree_spark.web import build_page_forest
-    from a_tree_spark.web.pipeline import fused_match_pages, salted_cell_stats
+    from a_tree_spark.web.pipeline import cell_stats_from_partials, fused_match_pages
 
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "400000"))
     n_subs = int(os.environ.get("SPARK_GRAFT_SUBS", "10000"))
@@ -60,7 +60,9 @@ def main() -> None:
             .withColumn("page_key", F.monotonically_increasing_id())
         )
         t0 = time.time()
-        salted_cell_stats(fused_match_pages(pages, forest)).count()
+        cell_stats_from_partials(
+            fused_match_pages(pages, forest, emit="cell_partials")
+        ).count()
         return time.time() - t0
 
     # warm every worker + buffers at both partition counts

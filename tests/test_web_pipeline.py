@@ -123,6 +123,40 @@ def test_fused_kernel_equals_composable_pipeline(spark):
     assert a == b and len(a) > 0
 
 
+def test_cell_partials_equal_raw_match_stats(spark):
+    """In-kernel (cell, sub, n) partial emission must yield exactly the
+    per-cell match counts and distinct-sub counts of the raw stream."""
+    from pyspark.sql import functions as F
+    from a_tree_spark.web.pipeline import (
+        cell_stats_from_partials,
+        fused_match_pages,
+    )
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    forest = build_page_forest(N_SUBS)
+    keyed = pages.withColumn("page_key", F.xxhash64("url"))
+
+    raw = fused_match_pages(keyed, forest, emit="matches")
+    partials = fused_match_pages(keyed, forest, emit="cell_partials")
+
+    got = {
+        r["cell_id"]: (r["n"], r["d"])
+        for r in partials.groupBy("cell_id")
+        .agg(F.sum("n_matches").alias("n"), F.countDistinct("sub_id").alias("d"))
+        .collect()
+    }
+    want = {
+        r["cell_id"]: (r["n"], r["d"])
+        for r in raw.groupBy("cell_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("sub_id").alias("d"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # the aggregate entry point agrees on totals
+    stats = cell_stats_from_partials(partials)
+    assert stats.agg(F.sum("n_matches")).first()[0] == raw.count()
+
+
 def test_cell_skew_exists(spark):
     """The Zipf ccTLD draw must create hot cells (else the salting path
     is untested theater)."""
