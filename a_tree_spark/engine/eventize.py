@@ -54,13 +54,17 @@ def eventize_events(events: DataFrame) -> DataFrame:
         F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("string"))
         .otherwise(F.col("event_type"))
         .alias("maybe_type"),
-        F.split(
-            F.concat_ws(
+        F.when(
+            F.col("user_id") % 11 == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.split(
+                F.concat_ws(
+                    ",",
+                    F.col("event_type"),
+                    F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+                ),
                 ",",
-                F.col("event_type"),
-                F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
-            ),
-            ",",
+            )
         ).alias("tags"),
         F.array(
             F.col("user_id").cast("bigint"),
@@ -81,7 +85,9 @@ SELECT
     CAST(value AS DECIMAL(28,6)) AS amount,
     (user_id % 2 = 0) AS flag,
     CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS maybe_type,
-    string_split(event_type || ',' || 'u' || CAST(user_id % 5 AS VARCHAR), ',') AS tags,
+    CASE WHEN user_id % 11 = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split(event_type || ',' || 'u' || CAST(user_id % 5 AS VARCHAR), ',')
+    END AS tags,
     [CAST(user_id AS BIGINT), CAST(user_id + 100 AS BIGINT),
      CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 50] AS seg_ids
 FROM events
@@ -118,4 +124,10 @@ STANDING_SUBSCRIPTIONS: dict[int, str] = {
     23: "(event_type = 'click' or event_type = 'view') and seg_ids one of [1, 2, 3, 4, 5]",
     24: "amount > 150.0 and amount <= 300.0",
     25: "not (flag and event_type = 'click') and user_id >= 10",
+    # the two DSL forms round 1 left pytest-only (VERDICT.md): a negated
+    # all-of (internal NOT_ALL_OF, reference src/predicates.rs:429-432)
+    # and the positive is-empty (src/predicates.rs:491-494); user_id%11
+    # rows have empty tags so both match real rows.
+    26: "not (tags all of ['click', 'view', 'u0', 'u2'])",
+    27: "tags is empty",
 }

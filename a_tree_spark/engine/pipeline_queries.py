@@ -35,8 +35,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only driver check; exact values pinned in pytest vs the
-    # pure-python oracle (bit ops are not portable SQL)
     return dedup.simhash_signatures(dedup.corpus_with_dups(_documents(spark, sf_dir)))
 
 
@@ -49,7 +47,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup_pairs(_embeddings(spark, sf_dir))
+    return similarity.embedding_near_dup_pairs(
+        similarity.vectors_with_dups(_embeddings(spark, sf_dir))
+    )
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +57,6 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: binary decode features (stubbed codec), pytest-pinned
     media = multimodal.media_table(_documents(spark, sf_dir))
     return multimodal.extract_media_features(media)
 
@@ -86,10 +85,12 @@ PIPELINE_ORACLES = {
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
-    # dedup_simhash: rows-only (bit ops not portable SQL)
+    "dedup_simhash": dedup.simhash_oracle_sql(),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(),
     "embedding_near_dup": similarity.embedding_near_dup_oracle(),
     "media_metadata": multimodal.media_metadata_oracle(),
-    # media_features / media_frame_sample: rows-only (binary payloads)
+    "media_features": multimodal.media_features_oracle(),
+    # media_frame_sample: rows-only (binary frame payload CRCs; DuckDB
+    # lacks Spark's crc32 — substring slicing is pinned in pytest)
 }

@@ -206,7 +206,7 @@ raster AS (
     )
 ),
 cover AS ({cover_union})
-SELECT shape_id, COUNT(*) AS n_tiles, SUM(tile_value) AS sum_value,
+SELECT shape_id, COUNT(*) AS n_tiles, CAST(SUM(tile_value) AS BIGINT) AS sum_value,
        MIN(tile_value) AS min_value, MAX(tile_value) AS max_value
 FROM cover JOIN raster USING (cell_id)
 GROUP BY shape_id

@@ -130,11 +130,17 @@ def normalize_event(attributes: AttributeTable, event: dict) -> dict:
                 raise WrongType(f"attribute {name!r} expects {kind.value}")
             normalized[name] = value
         elif kind is AttributeKind.FLOAT:
-            from decimal import Decimal
+            from decimal import ROUND_HALF_UP, Decimal
 
             if not isinstance(value, Decimal):
                 raise WrongType(f"attribute {name!r} expects an exact Decimal")
-            normalized[name] = value
+            # scale-6 contract, explicit on BOTH paths (ADVICE.md round
+            # 1): the vectorized engine compares at scale 6 (matching
+            # Spark decimal(28,6) HALF_UP casts), so the oracle quantizes
+            # the same way instead of silently diverging on finer events.
+            normalized[name] = value.quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
         else:
             elem_type = int if kind is AttributeKind.INTEGER_LIST else str
             if not all(isinstance(v, elem_type) and not isinstance(v, bool) for v in value):

@@ -378,9 +378,23 @@ class BatchEvaluator:
             # Fast path: engine pre-scales decimals JVM-side to int64 at
             # scale 6. Slow path (tests/oracle): object Decimals.
             if series.dtype == object:
+                # HALF_UP quantize mirrors Spark's decimal(28,6) cast and
+                # normalize_event's scale-6 contract (plain int() would
+                # truncate 7-dp values toward zero and diverge)
+                from decimal import ROUND_HALF_UP
+
+                q = Decimal(1).scaleb(-DECIMAL_SCALE)
                 values = np.array(
-                    [0 if v is None else int(Decimal(v).scaleb(DECIMAL_SCALE))
-                     for v in series],
+                    [
+                        0
+                        if v is None
+                        else int(
+                            Decimal(v)
+                            .quantize(q, rounding=ROUND_HALF_UP)
+                            .scaleb(DECIMAL_SCALE)
+                        )
+                        for v in series
+                    ],
                     dtype=np.int64,
                 )
             else:

@@ -6,14 +6,18 @@ row counts to enable exact resume at 1e12-document scale". Design:
 - work is keyed by an explicit UNIT id column (at 100 TB: an input file,
   a partition range, a WARC segment). Units are the resume granularity —
   idempotent and order-free, unlike task ids;
-- a completed unit's output lives under <root>/<stage>/data as parquet
-  rows tagged with the unit id; the manifest (one parquet per batch of
-  completed units) records (unit_id, row_count, content_hash) where
-  content_hash is an order-insensitive xor-style aggregate of row
-  hashes — cheap to recompute for audits;
-- resume = anti-join pending units against the manifest, process only
-  the remainder, append. A unit is never half-visible: data is written
-  before its manifest row, and readers go through the manifest join.
+- every ``run_stage`` invocation writes under a fresh ATTEMPT id: data
+  rows carry ``_attempt`` and a unit's manifest row records which
+  attempt committed it. Readers join data to the manifest on
+  (unit_id, _attempt), so rows from an attempt that crashed between the
+  data append and the manifest commit are never visible — exact resume
+  without any delete/compaction step (round 1 appended unconditionally,
+  so a crash-then-resume double-counted the unit: ADVICE.md). Dead
+  attempt files are garbage, not corruption; GC them offline;
+- the manifest (one parquet per batch of completed units) records
+  (unit_id, row_count, content_hash, _attempt) where content_hash is an
+  order-insensitive xor aggregate of row hashes — cheap to recompute
+  for audits (``verify``).
 
 The driver-side API is deliberately tiny: ``run_stage`` is the whole
 lifecycle (plan -> skip done -> compute -> append -> manifest).
@@ -22,8 +26,15 @@ lifecycle (plan -> skip done -> compute -> append -> manifest).
 from __future__ import annotations
 
 import os
+import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _is_missing_path(exc: AnalysisException) -> bool:
+    text = str(exc)
+    return "PATH_NOT_FOUND" in text or "Path does not exist" in text
 
 
 class StageCheckpoint:
@@ -35,21 +46,35 @@ class StageCheckpoint:
 
     # ------------------------------------------------------------ state
 
-    def completed_units(self) -> DataFrame:
+    def _committed(self) -> DataFrame:
+        """(unit_id, _attempt) pairs the manifest has committed. Only a
+        genuinely absent manifest reads as empty — any other read error
+        must surface, not silently trigger recompute+duplicate."""
         try:
-            return self.spark.read.parquet(self.manifest_path).select("unit_id")
-        except Exception:
-            return self.spark.createDataFrame([], "unit_id bigint")
+            return self.spark.read.parquet(self.manifest_path).select(
+                "unit_id", "_attempt"
+            )
+        except AnalysisException as exc:
+            if _is_missing_path(exc):
+                return self.spark.createDataFrame(
+                    [], "unit_id bigint, _attempt string"
+                )
+            raise
+
+    def completed_units(self) -> DataFrame:
+        return self._committed().select("unit_id")
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest_path)
 
     def output(self) -> DataFrame:
-        """Only rows whose unit completed (manifest is the commit log)."""
+        """Only rows whose (unit, attempt) the manifest committed — the
+        manifest is the commit log; orphan rows from crashed attempts
+        never qualify."""
         data = self.spark.read.parquet(self.data_path)
         return data.join(
-            F.broadcast(self.completed_units()), "unit_id", "semi"
-        )
+            F.broadcast(self._committed()), ["unit_id", "_attempt"], "semi"
+        ).drop("_attempt")
 
     # ------------------------------------------------------------- run
 
@@ -64,38 +89,56 @@ class StageCheckpoint:
         )
         n_pending = pending.count()
         if n_pending:
+            attempt = uuid.uuid4().hex
             result = compute(pending)
             if unit_col != "unit_id":
                 result = result.withColumnRenamed(unit_col, "unit_id")
+            result = result.withColumn("_attempt", F.lit(attempt))
             result.write.mode("append").parquet(self.data_path)
 
-            written = self.spark.read.parquet(self.data_path).join(
-                F.broadcast(
-                    pending.select(F.col(unit_col).alias("unit_id")).distinct()
-                ),
-                "unit_id",
-                "semi",
+            written = (
+                self.spark.read.parquet(self.data_path)
+                .where(F.col("_attempt") == attempt)
+                .join(
+                    F.broadcast(
+                        pending.select(F.col(unit_col).alias("unit_id")).distinct()
+                    ),
+                    "unit_id",
+                    "semi",
+                )
             )
-            lineage = written.groupBy("unit_id").agg(
-                F.count("*").alias("row_count"),
-                # order-insensitive, overflow-free content hash
-                # canonical column order: joins reorder columns, and xxhash64 over
-                # a struct is order-sensitive
-                F.bit_xor(F.xxhash64(F.struct(*sorted(written.columns)))).alias("content_hash"),
-            ).withColumn("stage", F.lit(self.stage))
+            hash_cols = sorted(c for c in written.columns if c != "_attempt")
+            lineage = (
+                written.groupBy("unit_id")
+                .agg(
+                    F.count("*").alias("row_count"),
+                    # order-insensitive, overflow-free content hash;
+                    # canonical column order: joins reorder columns, and
+                    # xxhash64 over a struct is order-sensitive
+                    F.bit_xor(F.xxhash64(F.struct(*hash_cols))).alias(
+                        "content_hash"
+                    ),
+                )
+                .withColumn("stage", F.lit(self.stage))
+                .withColumn("_attempt", F.lit(attempt))
+            )
             lineage.write.mode("append").parquet(self.manifest_path)
         return self.output()
 
     # ----------------------------------------------------------- audit
 
     def verify(self) -> DataFrame:
-        """Recompute per-unit row counts against the manifest — the
-        audit half of the lineage contract. Returns mismatching units
-        (empty = consistent)."""
+        """Recompute per-unit row counts/hashes of the COMMITTED output
+        against the manifest — the audit half of the lineage contract.
+        Returns mismatching units (empty = consistent)."""
         data = self.spark.read.parquet(self.data_path)
-        actual = data.groupBy("unit_id").agg(
+        visible = data.join(
+            F.broadcast(self._committed()), ["unit_id", "_attempt"], "semi"
+        )
+        hash_cols = sorted(c for c in visible.columns if c != "_attempt")
+        actual = visible.groupBy("unit_id").agg(
             F.count("*").alias("actual_rows"),
-            F.bit_xor(F.xxhash64(F.struct(*sorted(data.columns)))).alias("actual_hash"),
+            F.bit_xor(F.xxhash64(F.struct(*hash_cols))).alias("actual_hash"),
         )
         recorded = self.manifest().select("unit_id", "row_count", "content_hash")
         return (

@@ -300,23 +300,84 @@ WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
 # ------------------------------------------------------------- simhash
 
 
+_SIMHASH_SPARK = """
+WITH words AS (
+    SELECT doc_id, explode(array_distinct(split(text, ' '))) AS word
+    FROM {corpus}
+),
+h AS (SELECT doc_id, substring(md5(word), 1, 16) AS hx FROM words),
+nib AS (
+    SELECT doc_id, i,
+           instr('0123456789abcdef', substring(hx, i, 1)) - 1 AS v
+    FROM h LATERAL VIEW explode(sequence(1, 16)) t AS i
+),
+votes AS (
+    SELECT doc_id, (16 - i) * 4 + j AS bit,
+           SUM(CASE WHEN (shiftright(v, j) & 1) = 1 THEN 1 ELSE -1 END) AS vs
+    FROM nib LATERAL VIEW explode(sequence(0, 3)) s AS j
+    GROUP BY doc_id, (16 - i) * 4 + j
+)
+SELECT doc_id,
+       SUM(CASE WHEN vs > 0 THEN
+               CASE WHEN bit = 63
+                    THEN -2 * shiftleft(CAST(1 AS BIGINT), 62)
+                    ELSE shiftleft(CAST(1 AS BIGINT), bit) END
+           ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM votes GROUP BY doc_id
+""".strip()
+
+_SIMHASH_DUCKDB = """
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+    FROM {corpus}
+),
+h AS (SELECT doc_id, substring(md5(word), 1, 16) AS hx FROM words),
+nib AS (
+    SELECT doc_id, i,
+           strpos('0123456789abcdef', substring(hx, i, 1)) - 1 AS v
+    FROM h, generate_series(1, 16) t(i)
+),
+votes AS (
+    SELECT doc_id, (16 - i) * 4 + j AS bit,
+           SUM(CASE WHEN ((v >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vs
+    FROM nib, generate_series(0, 3) s(j)
+    GROUP BY doc_id, (16 - i) * 4 + j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vs > 0 THEN
+               CASE WHEN bit = 63
+                    THEN -2 * (CAST(1 AS BIGINT) << 62)
+                    ELSE CAST(1 AS BIGINT) << bit END
+           ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""".strip()
+
+
 def simhash_signatures(corpus: DataFrame) -> DataFrame:
-    """64-bit SimHash per document via numpy bit-majority over word
-    hashes (mapInPandas — portable SQL can't bit-twiddle, so the driver
-    check is rows-only and pytest pins the values against the pure-
-    python oracle ``simhash_oracle``)."""
-    import numpy as np
-    import pandas as pd
+    """64-bit SimHash per document: bit-majority over md5 word hashes,
+    computed ENTIRELY in Spark SQL (whole-stage codegen, zero Python —
+    round 1 ran the pure-python oracle per row inside mapInPandas).
 
-    def run(batches):
-        for pdf in batches:
-            out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                out_ids.append(doc_id)
-                out_sigs.append(simhash_oracle(text))
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+    The hex digest IS the hash value, so each of the 16 nibbles expands
+    to 4 vote rows via strpos arithmetic — a groupBy away from the
+    signature. The same arithmetic renders in DuckDB
+    (``simhash_oracle_sql``) so the driver gets a value-level oracle;
+    ``simhash_oracle`` (pure python, independent construction) pins both
+    in pytest. Scale shape: explode → two keyed aggregations, all
+    map-side combined; no UDF, no driver loop."""
+    corpus.createOrReplaceTempView("_simhash_corpus")
+    return corpus.sparkSession.sql(
+        _SIMHASH_SPARK.format(corpus="_simhash_corpus")
+    )
 
-    return corpus.mapInPandas(run, schema="doc_id bigint, simhash bigint")
+
+def simhash_oracle_sql(table: str = "documents") -> str:
+    """DuckDB rendering of the same bit-majority (driver oracle)."""
+    return (
+        f"WITH corpus AS ({corpus_cte(table)}), "
+        f"sig AS ({_SIMHASH_DUCKDB.format(corpus='corpus')}) "
+        f"SELECT doc_id, simhash FROM sig"
+    )
 
 
 def simhash_oracle(text: str) -> int:

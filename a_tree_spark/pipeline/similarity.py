@@ -138,6 +138,36 @@ SELECT query_id, neighbor_id, rank FROM (
 """.strip()
 
 
+# Derived fixture with PLANTED near-duplicates: the driver table is
+# dup-free, so round 1's check was vacuous (0 rows == 0 rows). Every
+# vec_id % 50 == 0 gains a copy scaled by 2 (power of two => exact in
+# float32 in both engines; positive scale preserves hyperplane signs so
+# the pair lands in the same LSH bucket; cosine is exactly 1 >= any
+# threshold).
+VECTORS_WITH_DUPS_SPARK = """
+SELECT vec_id, embedding FROM {table}
+UNION ALL
+SELECT vec_id + 100000 AS vec_id,
+       transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+FROM {table} WHERE vec_id % 50 = 0
+""".strip()
+
+VECTORS_WITH_DUPS_DUCKDB = """
+SELECT vec_id, embedding FROM {table}
+UNION ALL
+SELECT vec_id + 100000 AS vec_id,
+       [CAST(x * 2 AS FLOAT) for x in embedding] AS embedding
+FROM {table} WHERE vec_id % 50 = 0
+""".strip()
+
+
+def vectors_with_dups(embeddings: DataFrame) -> DataFrame:
+    embeddings.createOrReplaceTempView("_neardup_base")
+    return embeddings.sparkSession.sql(
+        VECTORS_WITH_DUPS_SPARK.format(table="_neardup_base")
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold_x1m: int = 990000) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, LSH-bucketed.
 
@@ -171,9 +201,11 @@ def embedding_near_dup_oracle(threshold_x1m: int = 990000, table: str = "embeddi
     a_bucket = bucket_sql("a.embedding", True)
     b_bucket = bucket_sql("b.embedding", True)
     t = threshold_x1m / 1e6
+    vecs = VECTORS_WITH_DUPS_DUCKDB.format(table=table)
     return f"""
+WITH vecs AS ({vecs})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM {table} a JOIN {table} b
+FROM vecs a JOIN vecs b
   ON {a_bucket} = {b_bucket} AND a.vec_id < b.vec_id
 WHERE {dot} > 0 AND {dot} * {dot} >= {t!r} * {t!r} * ({norm_a}) * ({norm_b})
 """.strip()

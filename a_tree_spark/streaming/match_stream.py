@@ -93,12 +93,18 @@ def windowed_match_counts(
 ):
     """Stateful variant: per-(window, sub_id) match counts with a
     watermark so late events older than the watermark are dropped and
-    state stays bounded. Use with writeStream in update/append mode."""
-    with_ts = stream.withWatermark(ts_col, watermark)
+    state stays bounded. Use with writeStream in update/append mode.
+
+    The watermark is applied to the match_events OUTPUT: mapInPandas
+    emits fresh attributes, so a watermark declared upstream does not
+    survive the Python stage and the windowed aggregation would run
+    unbounded (ADVICE.md round 1). ts rides through via carry_cols and
+    the watermark is (re)declared on the carried column — verified by a
+    real streaming run in tests/test_streaming.py."""
     matches = match_events(
-        with_ts, forest, event_id_col=event_id_col, carry_cols=[ts_col]
+        stream, forest, event_id_col=event_id_col, carry_cols=[ts_col]
     )
-    return matches.groupBy(
+    return matches.withWatermark(ts_col, watermark).groupBy(
         F.window(F.col(ts_col), window).alias("time_window"),
         F.col("sub_id"),
     ).agg(F.count("*").alias("n_matches"))

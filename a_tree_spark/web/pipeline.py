@@ -143,18 +143,26 @@ def match_pages(
 def salted_cell_stats(matches: DataFrame) -> DataFrame:
     """Per-cell match statistics with explicit hot-key salting: phase 1
     groups by (cell_id, salt) — spreading a hot cell over SALT_BUCKETS
-    reducers — phase 2 combines the partials. countDistinct becomes
-    exact via the two-phase (cell, salt, sub) pre-aggregation."""
+    reducers — phase 2 combines the partials. Counts combine by SUM
+    (exact); the distinct-subscription estimate combines by HLL sketch
+    UNION (``hll_union_agg``), which is the mathematically valid merge —
+    round 1 took max() over per-salt ``approx_count_distinct`` values,
+    a systematic under-estimate whenever a cell's subscriptions spread
+    across salt buckets (VERDICT.md / ADVICE.md round 1).
+    ``tests/test_web_pipeline.py`` pins this against
+    ``exact_cell_sub_counts`` on a skewed fixture."""
     salted = matches.withColumn(
         "salt", F.pmod("page_key", F.lit(SALT_BUCKETS))
     )
     partial = salted.groupBy("cell_id", "salt").agg(
         F.count("*").alias("_n"),
-        F.approx_count_distinct("sub_id").alias("_approx_subs"),
+        F.hll_sketch_agg("sub_id").alias("_hll"),
     )
     totals = partial.groupBy("cell_id").agg(
         F.sum("_n").alias("n_matches"),
-        F.max("_approx_subs").alias("approx_distinct_subs"),
+        F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias(
+            "approx_distinct_subs"
+        ),
     )
     return totals
 
@@ -225,6 +233,20 @@ def fused_match_pages(
     spark = pages.sparkSession
     evaluator = BatchEvaluator(forest.compile())
     bc = spark.sparkContext.broadcast(evaluator)
+
+    # (cell, sub) int64 packing contract for emit="cell_partials": the
+    # cell key (incl. the positionless sentinel 2^2L) needs 2*level+1
+    # bits, leaving sub_width bits for sub ids. Checked HERE, at plan
+    # time, so an oversized sub id fails loudly instead of silently
+    # merging counts under a wrong (cell, sub) (ADVICE.md round 1).
+    sub_width = 63 - (2 * level + 1)
+    if emit == "cell_partials":
+        max_sub = max(forest._expressions.keys(), default=0)
+        if not 0 <= int(max_sub) < (1 << sub_width):
+            raise ValueError(
+                f"sub ids must fit in {sub_width} bits at level {level}; "
+                f"got max sub_id {max_sub}"
+            )
 
     centroid_map: dict[str, tuple[float, float]] = {}
     for t, _lang, clat, clon, _w in TLD_TABLE:
@@ -348,19 +370,25 @@ def fused_match_pages(
             subs = np.concatenate(out_subs)
             if emit == "cell_partials":
                 # in-kernel combine: one row per (cell, sub) per batch.
-                # cell ids < 2^2L (level<=12 -> 2^24) and sub ids < 2^38
-                # pack into one int64 key for a single np.unique pass;
-                # positionless pages get cell sentinel 2^2L.
+                # Pack (cell, sub) into one int64 for a single np.unique
+                # pass: cell ids need 2*level+1 bits (sentinel 2^2L for
+                # positionless pages included), so the cell key shifts by
+                # a FIXED sub_width = 63 - (2*level+1) bits and sub ids
+                # must fit below it (38 bits at level 12) — asserted at
+                # plan time in fused_match_pages; round 1 shifted by only
+                # 2*level+1, silently corrupting sub ids >= 2^25
+                # (ADVICE.md round 1).
                 sentinel = np.int64(1) << (2 * level)
                 cell_key = np.where(no_pos[rows], sentinel, cells[rows])
-                key = cell_key * (sentinel * 2) + subs
+                key = (cell_key << sub_width) | subs
                 uniq, counts = np.unique(key, return_counts=True)
-                u_cell = uniq // (sentinel * 2)
+                u_cell = uniq >> sub_width
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(np.where(u_cell == sentinel, None, u_cell),
                                  type=pa.int64()),
-                        pa.array(uniq % (sentinel * 2), type=pa.int64()),
+                        pa.array(uniq & ((np.int64(1) << sub_width) - 1),
+                                 type=pa.int64()),
                         pa.array(counts.astype(np.int64), type=pa.int64()),
                     ],
                     names=["cell_id", "sub_id", "n_matches"],

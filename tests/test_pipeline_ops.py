@@ -50,15 +50,38 @@ def test_simhash_near_for_near_duplicates():
 
 
 def test_media_features_stub_plumbing(spark):
-    from a_tree_spark.pipeline.multimodal import decode_stub, media_table
+    """The vectorized batch codec must agree with the scalar reference
+    stub row-for-row, and both must reject unknown kinds."""
+    from a_tree_spark.pipeline.multimodal import (
+        decode_stub,
+        decode_stub_batch,
+        media_table,
+    )
 
     media = media_table(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
     features = PIPELINE_QUERIES["media_features"](spark, SF_DIR)
-    got = {r["doc_id"]: r["features"] for r in features.limit(100).collect()}
+    got = {
+        r["doc_id"]: [r["f0"], r["f1"], r["f2"], r["f3"]]
+        for r in features.limit(100).collect()
+    }
     for row in media.limit(30).collect():
         assert got[row["doc_id"]] == decode_stub(row["payload"], row["kind"])
     with pytest.raises(NotImplementedError):
         decode_stub(b"xx", "hologram")
+    with pytest.raises(NotImplementedError):
+        decode_stub_batch([b"x" * 32], ["hologram"])
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """Guard against the round-1 vacuous green (0 rows == 0 rows): the
+    derived fixture plants vec_id%50 scaled copies, each of which must
+    surface as (vec_id, vec_id+100000)."""
+    rows = PIPELINE_QUERIES["embedding_near_dup"](spark, SF_DIR).collect()
+    assert rows, "planted near-duplicates must be found"
+    planted = {(r["id_a"], r["id_b"]) for r in rows}
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    for vec_id in range(0, n_vecs, 50):
+        assert (vec_id, vec_id + 100000) in planted
 
 
 def test_exact_dedup_finds_planted_duplicates(spark):
@@ -114,4 +137,42 @@ def test_checkpoint_exact_resume(spark, tmp_path):
     assert sorted(map(tuple, out2.select("unit_id", "event_type", "n").collect())) == expected
 
     # lineage audit: manifest counts match the data
+    assert ckpt.verify().count() == 0
+
+
+def test_checkpoint_orphans_from_crashed_attempt_never_double_count(spark, tmp_path):
+    """ADVICE round 1: a crash BETWEEN the data append and the manifest
+    commit left orphan rows that a resume double-counted. Attempt-scoped
+    commits must leave orphans invisible forever."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.pipeline.checkpoint import StageCheckpoint
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    units = events.select((F.col("event_id") % 10).alias("unit_id")).distinct()
+
+    def compute(pending):
+        return (
+            events.withColumn("unit_id", F.col("event_id") % 10)
+            .join(F.broadcast(pending), "unit_id")
+            .groupBy("unit_id", "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    ckpt = StageCheckpoint(spark, str(tmp_path), "agg")
+    ckpt.run_stage(units.where("unit_id < 5"), compute)
+
+    # simulate the crash: unit 7's data rows land, manifest row doesn't
+    compute(units.where("unit_id = 7")).withColumn(
+        "_attempt", F.lit("deadbeefcrashed")
+    ).write.mode("append").parquet(ckpt.data_path)
+
+    # resume computes unit 7 again under a committed attempt; the orphan
+    # copy must not be visible, so totals equal a clean full run
+    out = ckpt.run_stage(units, compute)
+    expected = sorted(map(tuple, (
+        events.withColumn("unit_id", F.col("event_id") % 10)
+        .groupBy("unit_id", "event_type").agg(F.count("*").alias("n"))
+    ).collect()))
+    assert sorted(map(tuple, out.select("unit_id", "event_type", "n").collect())) == expected
     assert ckpt.verify().count() == 0

@@ -60,3 +60,61 @@ def test_windowed_match_counts_plan(spark):
     out = windowed_match_counts(eventized, builder)
     assert set(out.columns) == {"time_window", "sub_id", "n_matches"}
     assert out.count() > 0  # batch-mode execution of the same plan works
+
+
+def test_windowed_match_counts_streams_in_append_mode(spark, tmp_path):
+    """ADVICE round 1: the watermark declared upstream of match_events
+    did not survive the mapInPandas stage, so append mode would be
+    rejected and update-mode state grew unbounded. This runs the REAL
+    streaming plan end-to-end in append mode — Spark refuses to even
+    start an append-mode windowed aggregation without an event-time
+    watermark, so a successful run is the regression proof — and checks
+    the emitted closed-window counts against batch groundtruth."""
+    from pyspark.sql import functions as F
+    from a_tree_spark.engine.eventize import EVENT_ATTRIBUTES, eventize_events
+    from a_tree_spark.expr import ForestBuilder
+    from a_tree_spark.streaming import windowed_match_counts
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    eventized = eventize_events(events).join(
+        events.select("event_id", F.col("ts").cast("timestamp").alias("ts")),
+        "event_id",
+    )
+    src = str(tmp_path / "win_src")
+    eventized.where("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    eventized.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    builder = ForestBuilder(EVENT_ATTRIBUTES)
+    builder.insert(1, "event_type = 'click'")
+
+    stream = (
+        spark.readStream.schema(eventized.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_match_counts(stream, builder, window="1 hour", watermark="1 hour")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("win_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.awaitTermination(180)
+
+    got = {
+        (r["time_window"]["start"], r["sub_id"]): r["n_matches"]
+        for r in spark.sql("SELECT * FROM win_append").collect()
+    }
+    want = {
+        (r["time_window"]["start"], r["sub_id"]): r["n_matches"]
+        for r in windowed_match_counts(
+            eventized, builder, window="1 hour", watermark="1 hour"
+        ).collect()
+    }
+    # append emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly, and some must have emitted
+    assert len(got) > 0
+    for key, n in got.items():
+        assert want.get(key) == n

@@ -157,6 +157,77 @@ def test_cell_partials_equal_raw_match_stats(spark):
     assert stats.agg(F.sum("n_matches")).first()[0] == raw.count()
 
 
+def test_salted_cell_stats_matches_exact_counts(spark):
+    """Round-1 bug (VERDICT/ADVICE): max(approx_count_distinct per salt)
+    systematically under-estimated distinct subs. The HLL-union rewrite
+    must agree with the exact two-phase count on the skewed fixture
+    (sketches are exact at these cardinalities) and n_matches must be
+    exactly the raw match count per cell."""
+    from pyspark.sql import functions as F
+    from a_tree_spark.web.pipeline import (
+        exact_cell_sub_counts,
+        match_pages,
+        salted_cell_stats,
+    )
+
+    eventized = eventize_pages(synth_pages_df(spark, 2000, partitions=4))
+    matches = match_pages(eventized, build_page_forest(N_SUBS)).cache()
+
+    got = {
+        r["cell_id"]: (r["n_matches"], r["approx_distinct_subs"])
+        for r in salted_cell_stats(matches).collect()
+    }
+    exact_subs = {
+        r["cell_id"]: r["n_distinct_subs"]
+        for r in exact_cell_sub_counts(matches).collect()
+    }
+    exact_n = {
+        r["cell_id"]: r["n"]
+        for r in matches.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(got) > 0 and set(got) == set(exact_n)
+    for cell, (n, approx) in got.items():
+        assert n == exact_n[cell]
+        # HLL union is a valid merge: tight even on the hottest cells
+        assert abs(approx - exact_subs[cell]) <= max(1, 0.02 * exact_subs[cell])
+
+
+def test_cell_partials_packing_handles_wide_sub_ids(spark):
+    """ADVICE round 1: sub ids >= 2^(2*level+1) silently decoded to a
+    wrong (cell, sub). The fixed-width packing must round-trip sub ids
+    up to 2^38 and reject anything wider at plan time."""
+    from pyspark.sql import functions as F
+    from a_tree_spark.expr import ForestBuilder
+    from a_tree_spark.web.pipeline import (
+        PAGE_ATTRIBUTES,
+        fused_match_pages,
+        standing_page_subscriptions,
+    )
+
+    wide = ForestBuilder(PAGE_ATTRIBUTES)
+    for i, (_, expression) in enumerate(
+        sorted(standing_page_subscriptions(20).items())
+    ):
+        wide.insert((1 << 30) + i, expression)  # far beyond 2^25
+
+    pages = synth_pages_df(spark, 300, partitions=2).withColumn(
+        "page_key", F.monotonically_increasing_id()
+    )
+    raw = fused_match_pages(pages, wide, emit="matches")
+    partials = fused_match_pages(pages, wide, emit="cell_partials")
+    got = sorted(map(tuple, partials.groupBy("cell_id", "sub_id")
+                     .agg(F.sum("n_matches").alias("n")).collect()))
+    want = sorted(map(tuple, raw.groupBy("cell_id", "sub_id")
+                      .agg(F.count("*").alias("n")).collect()))
+    assert got == want and len(want) > 0
+    assert all(sub_id >= (1 << 30) for _, sub_id, _ in want)
+
+    oversized = ForestBuilder(PAGE_ATTRIBUTES)
+    oversized.insert(1 << 38, "lang = 'en'")
+    with pytest.raises(ValueError, match="sub ids must fit"):
+        fused_match_pages(pages, oversized, emit="cell_partials")
+
+
 def test_cell_skew_exists(spark):
     """The Zipf ccTLD draw must create hot cells (else the salting path
     is untested theater)."""
