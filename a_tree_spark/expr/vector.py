@@ -353,15 +353,31 @@ class BatchEvaluator:
         )
 
     def _plan_subscribers(self) -> None:
+        """CSR of DISTINCT expression roots -> subscriber ids. CSE means
+        many subscriptions share one root (4.3x on the templated 100k
+        workload), so match decode runs per distinct root and expands to
+        sub ids afterwards — round 1 gathered and bit-decoded one node
+        row PER SUBSCRIPTION, which was the single largest cost at 100k
+        subs (~45% of evaluate_prepared)."""
         forest = self.forest
-        node_idxs = []
-        sub_ids = []
+        root_nodes = []
+        sub_chunks = []
+        counts = []
         for node_idx, subs in forest.node_subs.items():
-            for sub in subs:
-                node_idxs.append(node_idx)
-                sub_ids.append(sub)
-        self.sub_node_idxs = np.array(node_idxs, dtype=np.int64)
-        self.sub_ids = np.array(sub_ids)
+            root_nodes.append(node_idx)
+            sub_chunks.append(np.asarray(subs))
+            counts.append(len(subs))
+        self.root_nodes = np.array(root_nodes, dtype=np.int64)
+        self.root_sub_counts = np.array(counts, dtype=np.int64)
+        self.root_sub_offsets = np.concatenate(
+            [[0], np.cumsum(self.root_sub_counts)]
+        ).astype(np.int64)
+        self.root_sub_ids = (
+            np.concatenate(sub_chunks) if sub_chunks else np.empty(0, dtype=np.int64)
+        )
+        # flat per-subscription views (public: matcher sizing, tests)
+        self.sub_node_idxs = np.repeat(self.root_nodes, self.root_sub_counts)
+        self.sub_ids = self.root_sub_ids
 
     # ------------------------------------------------------------ columns
 
@@ -587,12 +603,12 @@ class BatchEvaluator:
             if len(cached) > 4:
                 cached.clear()
             nn = max(self.forest.num_nodes, 1)
-            n_subs = max(len(self.sub_node_idxs), 1)
+            n_roots = max(len(self.root_nodes), 1)
             bufs = cached[nb] = (
                 np.empty((nn, nb), dtype=np.uint8),   # packed node truth bits
                 np.empty((nn, nb), dtype=np.uint8),   # left gather
                 np.empty((nn, nb), dtype=np.uint8),   # right gather
-                np.empty((n_subs, nb), dtype=np.uint8),
+                np.empty((n_roots, nb), dtype=np.uint8),
             )
         return bufs
 
@@ -613,6 +629,19 @@ class BatchEvaluator:
         cuts sweep memory traffic 8x, which is the binding resource at
         32 concurrent workers (measured 3x per-process cpu inflation
         from DRAM saturation with byte-wide sweeps)."""
+        rows, root_idx = self.evaluate_prepared_roots(cache, n)
+        return self.expand_roots(rows, root_idx)
+
+    def evaluate_prepared_roots(
+        self, cache: dict[int, object], n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Root-level matches: (row_positions, root_index) pairs, where
+        root_index indexes ``root_nodes``/``root_sub_counts``. Decoding
+        per DISTINCT root (not per subscription) makes the gather +
+        nonzero + unpack proportional to the CSE-deduped forest, and
+        lets aggregation kernels combine counts BEFORE the root->sub
+        expansion (the expansion is a pure multiplicity joint —
+        ``expand_roots`` — or a tiny broadcast join on the Spark side)."""
         leaf_values = self._eval_leaves(cache, n)
 
         nb = (n + 7) // 8
@@ -636,19 +665,35 @@ class BatchEvaluator:
                 np.bitwise_or(a, b, out=a)
             values[nodes] = a
 
-        k = len(self.sub_node_idxs)
-        np.take(values, self.sub_node_idxs, axis=0, out=matched[:k])
+        k = len(self.root_nodes)
+        np.take(values, self.root_nodes, axis=0, out=matched[:k])
         # sparse decode: nonzero BYTES first (matches are sparse), then
         # unpack only those bytes
-        sub_pos, byte_pos = np.nonzero(matched[:k])
-        if len(sub_pos) == 0:
-            return np.empty(0, dtype=np.int64), self.sub_ids[:0]
-        sel = matched[sub_pos, byte_pos]
+        root_pos, byte_pos = np.nonzero(matched[:k])
+        if len(root_pos) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        sel = matched[root_pos, byte_pos]
         bits = np.unpackbits(sel[:, None], axis=1, bitorder="little").astype(bool)
         pair_idx, bit_idx = np.nonzero(bits)
         row_pos = byte_pos[pair_idx] * 8 + bit_idx
         keep = row_pos < n  # strip pad bits of the last partial byte
         return (
             row_pos[keep].astype(np.int64),
-            self.sub_ids[sub_pos[pair_idx][keep]],
+            root_pos[pair_idx][keep].astype(np.int64),
         )
+
+    def expand_roots(
+        self, rows: np.ndarray, root_idx: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(row, root) pairs -> (row, sub_id) pairs via the root CSR."""
+        if len(rows) == 0:
+            return rows, self.sub_ids[:0]
+        counts = self.root_sub_counts[root_idx]
+        out_rows = np.repeat(rows, counts)
+        starts = self.root_sub_offsets[root_idx]
+        total = int(counts.sum())
+        offsets = np.repeat(starts, counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        return out_rows, self.root_sub_ids[offsets + within]

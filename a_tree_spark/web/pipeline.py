@@ -167,6 +167,46 @@ def salted_cell_stats(matches: DataFrame) -> DataFrame:
     return totals
 
 
+def root_subscription_map(spark, forest: ForestBuilder) -> DataFrame:
+    """Tiny (root_id, n_subs) DataFrame for the post-shuffle expansion
+    of root-level partials — one row per DISTINCT expression root (CSE
+    class), broadcastable at any subscription count (23k rows for the
+    100k-sub workload)."""
+    from ..expr.vector import BatchEvaluator
+
+    ev = BatchEvaluator(forest.compile())
+    rows = [
+        (int(i), int(c)) for i, c in enumerate(ev.root_sub_counts)
+    ]
+    return spark.createDataFrame(rows, "root_id bigint, n_subs bigint")
+
+
+def cell_stats_from_root_partials(
+    partials: DataFrame, root_map: DataFrame
+) -> DataFrame:
+    """Per-cell statistics from in-kernel (cell, root, n) partials.
+
+    The kernel emits per DISTINCT expression root; each subscription has
+    exactly ONE root, so subs(root) PARTITIONS the subscription ids and
+    the expansion is pure multiplicity: per-cell match count =
+    sum(n * n_subs), and the distinct-subscription count is EXACT —
+    sum of n_subs over the distinct roots present in the cell — where
+    the sub-level path needed an HLL sketch. One keyed shuffle on
+    (cell_id, root_id), then a broadcast join with the root map and a
+    second (AQE-coalesced, already-combined) per-cell shuffle."""
+    per_root = partials.groupBy("cell_id", "root_id").agg(
+        F.sum("n_matches").alias("n")
+    )
+    return (
+        per_root.join(F.broadcast(root_map), "root_id")
+        .groupBy("cell_id")
+        .agg(
+            F.sum(F.col("n") * F.col("n_subs")).alias("n_matches"),
+            F.sum("n_subs").alias("n_distinct_subs"),
+        )
+    )
+
+
 def cell_stats_from_partials(partials: DataFrame) -> DataFrame:
     """Per-cell statistics from in-kernel (cell, sub, n) partials: sums
     are exact (integer, order-free); the distinct-subscription sketch
@@ -247,6 +287,10 @@ def fused_match_pages(
                 f"sub ids must fit in {sub_width} bits at level {level}; "
                 f"got max sub_id {max_sub}"
             )
+    if emit == "cell_root_partials" and len(evaluator.root_nodes) >= (1 << sub_width):
+        raise ValueError(
+            f"root ids must fit in {sub_width} bits at level {level}"
+        )
 
     centroid_map: dict[str, tuple[float, float]] = {}
     for t, _lang, clat, clon, _w in TLD_TABLE:
@@ -362,12 +406,40 @@ def fused_match_pages(
                         else lead_vids[lead_offsets[start]:lead_offsets[stop]],
                     ),
                 }
-                rows, subs = ev.evaluate_prepared(cache, stop - start)
+                rows, hits = ev.evaluate_prepared_roots(cache, stop - start)
+                if emit != "cell_root_partials":
+                    rows, hits = ev.expand_roots(rows, hits)
                 out_rows.append(rows + start)
-                out_subs.append(subs)
+                out_subs.append(hits)
 
             rows = np.concatenate(out_rows)
             subs = np.concatenate(out_subs)
+            if emit == "cell_root_partials":
+                # root-level in-kernel combine: one row per (cell, root)
+                # per batch. CSE shares one root across ~4.3 subs on the
+                # templated workload and a row matches ~17x fewer roots
+                # than subs, so the Arrow boundary + shuffle carry that
+                # much less; the root->subscription expansion happens
+                # AFTER the per-cell combine as a broadcast join against
+                # the (root_id, n_subs) map (root_subscription_map) —
+                # counts expand by pure multiplicity and distinct-sub
+                # counts become EXACT (each sub has exactly one root).
+                sentinel = np.int64(1) << (2 * level)
+                cell_key = np.where(no_pos[rows], sentinel, cells[rows])
+                key = (cell_key << sub_width) | subs
+                uniq, counts = np.unique(key, return_counts=True)
+                u_cell = uniq >> sub_width
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.where(u_cell == sentinel, None, u_cell),
+                                 type=pa.int64()),
+                        pa.array(uniq & ((np.int64(1) << sub_width) - 1),
+                                 type=pa.int64()),
+                        pa.array(counts.astype(np.int64), type=pa.int64()),
+                    ],
+                    names=["cell_id", "root_id", "n_matches"],
+                )
+                continue
             if emit == "cell_partials":
                 # in-kernel combine: one row per (cell, sub) per batch.
                 # Pack (cell, sub) into one int64 for a single np.unique
@@ -404,6 +476,10 @@ def fused_match_pages(
                 names=["page_key", "cell_id", "sub_id"],
             )
 
+    if emit == "cell_root_partials":
+        return pages.mapInArrow(
+            run, schema="cell_id long, root_id long, n_matches long"
+        )
     if emit == "cell_partials":
         return pages.mapInArrow(
             run, schema="cell_id long, sub_id long, n_matches long"
@@ -430,8 +506,10 @@ def run_pipeline(
     forest = build_page_forest(n_subscriptions)
     if strategy == "fused":
         keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
-        partials = fused_match_pages(keyed, forest, level, emit="cell_partials")
-        return cell_stats_from_partials(partials)
+        partials = fused_match_pages(keyed, forest, level, emit="cell_root_partials")
+        return cell_stats_from_root_partials(
+            partials, root_subscription_map(spark, forest)
+        )
     eventized = eventize_pages(pages, level)
     matches = match_pages(eventized, forest, strategy=strategy)
     return salted_cell_stats(matches)

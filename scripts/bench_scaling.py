@@ -33,7 +33,11 @@ def main() -> None:
     from bench import _pages_parquet
     from a_tree_spark.engine.session import get_spark
     from a_tree_spark.web import build_page_forest
-    from a_tree_spark.web.pipeline import cell_stats_from_partials, fused_match_pages
+    from a_tree_spark.web.pipeline import (
+        cell_stats_from_root_partials,
+        fused_match_pages,
+        root_subscription_map,
+    )
 
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "400000"))
     n_subs = int(os.environ.get("SPARK_GRAFT_SUBS", "10000"))
@@ -51,6 +55,8 @@ def main() -> None:
     pages_path = _pages_parquet(spark, n_pages)
     forest = build_page_forest(n_subs)
     forest.compile()
+    root_map = root_subscription_map(spark, forest).cache()
+    root_map.count()
 
     def run_at(cores: int) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", str(2 * cores))
@@ -60,8 +66,9 @@ def main() -> None:
             .withColumn("page_key", F.monotonically_increasing_id())
         )
         t0 = time.time()
-        cell_stats_from_partials(
-            fused_match_pages(pages, forest, emit="cell_partials")
+        cell_stats_from_root_partials(
+            fused_match_pages(pages, forest, emit="cell_root_partials"),
+            root_map,
         ).count()
         return time.time() - t0
 

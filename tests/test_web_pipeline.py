@@ -157,6 +157,40 @@ def test_cell_partials_equal_raw_match_stats(spark):
     assert stats.agg(F.sum("n_matches")).first()[0] == raw.count()
 
 
+def test_root_partials_equal_raw_match_stats(spark):
+    """Root-level in-kernel partials + post-shuffle subscription
+    expansion must reproduce EXACTLY the per-cell match counts and
+    (now exact) distinct-sub counts of the raw match stream."""
+    from pyspark.sql import functions as F
+    from a_tree_spark.web.pipeline import (
+        cell_stats_from_root_partials,
+        fused_match_pages,
+        root_subscription_map,
+    )
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    forest = build_page_forest(N_SUBS)
+    keyed = pages.withColumn("page_key", F.xxhash64("url"))
+
+    raw = fused_match_pages(keyed, forest, emit="matches")
+    partials = fused_match_pages(keyed, forest, emit="cell_root_partials")
+    stats = cell_stats_from_root_partials(
+        partials, root_subscription_map(spark, forest)
+    )
+
+    got = {
+        r["cell_id"]: (r["n_matches"], r["n_distinct_subs"])
+        for r in stats.collect()
+    }
+    want = {
+        r["cell_id"]: (r["n"], r["d"])
+        for r in raw.groupBy("cell_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("sub_id").alias("d"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_salted_cell_stats_matches_exact_counts(spark):
     """Round-1 bug (VERDICT/ADVICE): max(approx_count_distinct per salt)
     systematically under-estimated distinct subs. The HLL-union rewrite
