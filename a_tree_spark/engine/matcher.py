@@ -62,6 +62,7 @@ def match_events(
     strategy: str = "vectorized",
     sub_id_type: str = "bigint",
     carry_cols: list[str] | None = None,
+    access_pruning: bool = False,
 ) -> DataFrame:
     """Match every event row against every subscription.
 
@@ -69,11 +70,20 @@ def match_events(
     match — the distributed Report (SURVEY.md §1.4). ``carry_cols`` ride
     through the match stage so downstream spatial aggregation needs no
     join back to the (expensive to recompute) event source.
+
+    ``access_pruning`` enables the reference's two-phase access-predicate
+    evaluation (src/atree.rs:530-591) in the vectorized strategy: lazy
+    (non-access) leaves evaluate only on the candidate rows their access
+    siblings admit. Semantics-invariant (hypothesis-pinned); pays off
+    when lazy predicates are expensive relative to the packed sweep —
+    long list operands, ALL_OF over wide lists, object decimals.
     """
     forest = matcher.compile() if isinstance(matcher, ForestBuilder) else matcher
     if strategy == "codegen":
         return _match_codegen(events, forest, event_id_col, sub_id_type, carry_cols)
-    return _match_vectorized(events, forest, event_id_col, sub_id_type, carry_cols)
+    return _match_vectorized(
+        events, forest, event_id_col, sub_id_type, carry_cols, access_pruning
+    )
 
 
 def _match_vectorized(
@@ -82,6 +92,7 @@ def _match_vectorized(
     event_id_col: str,
     sub_id_type: str,
     carry_cols: list[str] | None = None,
+    access_pruning: bool = False,
 ) -> DataFrame:
     needed = _needed_attributes(forest)
     carry = carry_cols or []
@@ -103,7 +114,7 @@ def _match_vectorized(
                 name, (F.col(name) * (10**DECIMAL_SCALE)).cast("long")
             )
 
-    evaluator = BatchEvaluator(forest)
+    evaluator = BatchEvaluator(forest, access_pruning=access_pruning)
     bc = spark.sparkContext.broadcast(evaluator)
     id_field = projected.schema[event_id_col]
     carry_fields = [projected.schema[c] for c in carry]

@@ -273,12 +273,24 @@ class BatchEvaluator:
     numpy on Arrow-backed columns.
     """
 
-    def __init__(self, forest: CompiledForest, memory_budget_bytes: int = 16 << 20):
+    #: lazy leaves evaluate on the candidate subset only below this
+    #: row fraction; above it a dense evaluation is cheaper than the
+    #: gather/scatter of subsetting
+    DENSE_FRACTION = 0.5
+
+    def __init__(
+        self,
+        forest: CompiledForest,
+        memory_budget_bytes: int = 16 << 20,
+        access_pruning: bool = False,
+    ):
         self.forest = forest
         self.memory_budget = memory_budget_bytes
+        self.access_pruning = access_pruning
         self._plan_leaf_groups()
         self._plan_levels()
         self._plan_subscribers()
+        self._plan_access()
 
     # ------------------------------------------------------------ planning
 
@@ -378,6 +390,49 @@ class BatchEvaluator:
         # flat per-subscription views (public: matcher sizing, tests)
         self.sub_node_idxs = np.repeat(self.root_nodes, self.root_sub_counts)
         self.sub_ids = self.root_sub_ids
+
+    def _plan_access(self) -> None:
+        """Two-phase access-predicate split, the reference's defining
+        optimization (src/atree.rs:530-591 choose_access_child / delayed
+        predicates, doc src/lib.rs:77-87): an AND registers only its
+        CHEAPEST child as the access predicate and defers the sibling
+        until the access side fired. The compiler already cost-orders
+        children (node_left = cheapest, compiler.py, ref atree.rs:133-137),
+        so the access set is the leaves reachable from the roots without
+        ever entering an AND's right child; everything else is LAZY.
+
+        Vectorized restatement: lazy leaves are assumed TRUE for an
+        upper-bound sweep (sound in NNF — Kleene truth is monotone under
+        AND=min/OR=max), a packed downward pass turns the upper bound
+        into per-leaf candidate row bitsets, and each lazy leaf then
+        evaluates only on its candidate rows. Grouped leaves (inverted
+        membership index, grouped equality) stay dense: they already
+        cost O(occurrences), which IS the access-predicate economics —
+        only per-leaf generic evaluation is worth deferring."""
+        forest = self.forest
+        access_nodes: set[int] = set()
+        stack = list(forest.node_subs.keys())
+        while stack:
+            node = stack.pop()
+            if node in access_nodes:
+                continue
+            access_nodes.add(node)
+            kind = forest.node_kind[node]
+            if kind == LEAF:
+                continue
+            stack.append(forest.node_left[node])  # cheapest child = access
+            if kind != AND:
+                stack.append(forest.node_right[node])  # OR defers nothing
+
+        access_leaves = {
+            forest.node_left[node]
+            for node in access_nodes
+            if forest.node_kind[node] == LEAF
+        }
+        self.lazy_leaf_idxs = [
+            i for i in self.generic_leaves if i not in access_leaves
+        ]
+        self._lazy_set = set(self.lazy_leaf_idxs)
 
     # ------------------------------------------------------------ columns
 
@@ -522,7 +577,36 @@ class BatchEvaluator:
             result = ~violations if op is Op.ALL_OF else violations
         return _true_mask(result, col.mask)
 
-    def _eval_leaves(self, cache: dict, n: int) -> np.ndarray:
+    def _subset_col(self, col, idx: np.ndarray):
+        """Row-subset view of a prepared column (lazy-leaf evaluation on
+        candidate rows only)."""
+        if isinstance(col, _ScalarColumn):
+            return _ScalarColumn(
+                col.mask[idx],
+                None if col.values is None else col.values[idx],
+                None
+                if col.str_series is None
+                else col.str_series.iloc[idx].reset_index(drop=True),
+            )
+        offsets = np.concatenate([[0], np.cumsum(col.lengths)])
+        lengths = col.lengths[idx]
+        total = int(lengths.sum())
+        if total:
+            starts = offsets[idx]
+            gather = np.repeat(starts, lengths) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
+            )
+        else:
+            gather = np.empty(0, dtype=np.int64)
+        return _ListColumn.from_parts(
+            col.mask[idx],
+            lengths,
+            None if col.flat is None else col.flat[gather],
+            vids=None if col.vids is None else col.vids[gather],
+        )
+
+    def _eval_leaves(self, cache: dict, n: int, lazy_true: bool = False) -> np.ndarray:
         forest = self.forest
         leaf_values = np.empty((len(forest.leaves), n), dtype=bool)
 
@@ -553,6 +637,9 @@ class BatchEvaluator:
             )
 
         for leaf_idx in self.generic_leaves:
+            if lazy_true and leaf_idx in self._lazy_set:
+                leaf_values[leaf_idx] = True  # monotone upper bound
+                continue
             leaf = self.forest.leaves[leaf_idx]
             leaf_values[leaf_idx] = self._eval_generic_leaf(
                 leaf, cache[leaf.attr_index], n
@@ -642,6 +729,8 @@ class BatchEvaluator:
         lets aggregation kernels combine counts BEFORE the root->sub
         expansion (the expansion is a pure multiplicity joint —
         ``expand_roots`` — or a tiny broadcast join on the Spark side)."""
+        if self.access_pruning and self.lazy_leaf_idxs:
+            return self._evaluate_two_phase(cache, n)
         leaf_values = self._eval_leaves(cache, n)
 
         nb = (n + 7) // 8
@@ -649,6 +738,11 @@ class BatchEvaluator:
 
         # leaf truth bits (leaf layer already collapses UNKNOWN to 0)
         leaf_bits = np.packbits(leaf_values, axis=1, bitorder="little")
+        self._sweep(values, gather_a, gather_b, leaf_bits)
+        return self._decode_roots(values, matched, n)
+
+    def _sweep(self, values, gather_a, gather_b, leaf_bits) -> None:
+        """Bottom-up packed truth propagation over the DAG levels."""
         np.take(leaf_bits, self.leaf_of_node, axis=0,
                 out=gather_a[: len(self.leaf_of_node)])
         values[self.leaf_node_idxs] = gather_a[: len(self.leaf_of_node)]
@@ -665,6 +759,9 @@ class BatchEvaluator:
                 np.bitwise_or(a, b, out=a)
             values[nodes] = a
 
+    def _decode_roots(
+        self, values, matched, n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
         k = len(self.root_nodes)
         np.take(values, self.root_nodes, axis=0, out=matched[:k])
         # sparse decode: nonzero BYTES first (matches are sparse), then
@@ -697,3 +794,88 @@ class BatchEvaluator:
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
         )
         return out_rows, self.root_sub_ids[offsets + within]
+
+    # --------------------------------------- two-phase access pruning
+
+    def _pruning_buffers(self, nb: int):
+        cached = getattr(self, "_prune_buf_cache", None)
+        if cached is None:
+            cached = self._prune_buf_cache = {}
+        bufs = cached.get(nb)
+        if bufs is None:
+            if len(cached) > 4:
+                cached.clear()
+            nn = max(self.forest.num_nodes, 1)
+            nl = max(len(self.forest.leaves), 1)
+            bufs = cached[nb] = (
+                np.empty((nn, nb), dtype=np.uint8),   # candidate bits/node
+                np.empty((nl, nb), dtype=np.uint8),   # candidate bits/leaf
+            )
+        return bufs
+
+    def _evaluate_two_phase(
+        self, cache: dict[int, object], n: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Access pass -> candidate propagation -> lazy pass -> exact
+        sweep (the vectorized two-phase of _plan_access).
+
+        Phase 1 evaluates only access leaves, assumes every LAZY leaf
+        TRUE, and sweeps: because NNF truth is monotone, the result is a
+        sound upper bound — any root FALSE here is exactly FALSE.
+        The downward pass then computes, per node, the packed row set
+        where its exact value is still needed: a child inherits
+        cand(parent) & ub(parent) (rows where the parent can still be
+        TRUE and is itself needed) — for an AND's right child, ub(parent)
+        already includes the access sibling's truth, which is precisely
+        the reference's 'evaluate the delayed predicate only where the
+        access predicate fired' (src/atree.rs:568-574). Phase 2
+        evaluates each lazy leaf on its candidate rows (dense fallback
+        above DENSE_FRACTION); phase 3 re-sweeps with exact bits."""
+        leaf_values = self._eval_leaves(cache, n, lazy_true=True)
+
+        nb = (n + 7) // 8
+        values, gather_a, gather_b, matched = self._buffers(nb)
+        cand, leaf_cand = self._pruning_buffers(nb)
+
+        leaf_bits = np.packbits(leaf_values, axis=1, bitorder="little")
+        self._sweep(values, gather_a, gather_b, leaf_bits)  # upper bound
+
+        # downward candidate pass (levels descend by height, so every
+        # node's cand is final before it scatters to its children; root
+        # seeds are in place before any parent contribution is read)
+        cand[:] = 0
+        cand[self.root_nodes] = values[self.root_nodes]
+        for kind, nodes, left, right in reversed(self.levels):
+            k = len(nodes)
+            contrib = gather_a[:k]
+            np.take(cand, nodes, axis=0, out=contrib)
+            np.bitwise_and(contrib, values[nodes], out=contrib)
+            # children repeat across parents (CSE) -> unbuffered |=
+            np.bitwise_or.at(cand, left, contrib)
+            np.bitwise_or.at(cand, right, contrib)
+
+        leaf_cand[:] = 0
+        np.bitwise_or.at(
+            leaf_cand, self.leaf_of_node, cand[self.leaf_node_idxs]
+        )
+
+        # phase 2: lazy leaves on candidate rows only
+        for leaf_idx in self.lazy_leaf_idxs:
+            mask = np.unpackbits(
+                leaf_cand[leaf_idx], bitorder="little"
+            )[:n].astype(bool)
+            k = int(mask.sum())
+            leaf = self.forest.leaves[leaf_idx]
+            if k == 0:
+                row = np.zeros(n, dtype=bool)
+            elif k >= self.DENSE_FRACTION * n:
+                row = self._eval_generic_leaf(leaf, cache[leaf.attr_index], n)
+            else:
+                idx = np.flatnonzero(mask)
+                sub = self._subset_col(cache[leaf.attr_index], idx)
+                row = np.zeros(n, dtype=bool)
+                row[idx] = self._eval_generic_leaf(leaf, sub, k)
+            leaf_bits[leaf_idx] = np.packbits(row, bitorder="little")
+
+        self._sweep(values, gather_a, gather_b, leaf_bits)  # exact
+        return self._decode_roots(values, matched, n)

@@ -175,7 +175,13 @@ def test_vectorized_forest_equals_oracle(expressions, events):
     for row, sub in zip(rows.tolist(), subs.tolist()):
         got.setdefault(row, set()).add(sub)
 
+    # two-phase access pruning must be semantics-invariant
+    p_rows, p_subs = BatchEvaluator(forest, access_pruning=True).evaluate(pdf)
+    pruned: dict[int, set] = {}
+    for row, sub in zip(p_rows.tolist(), p_subs.tolist()):
+        pruned.setdefault(row, set()).add(sub)
+
     for i, event in enumerate(events):
-        assert got.get(i, set()) == set(evaluate_event(forest, event)), (
-            expressions, event
-        )
+        expected = set(evaluate_event(forest, event))
+        assert got.get(i, set()) == expected, (expressions, event)
+        assert pruned.get(i, set()) == expected, (expressions, event)

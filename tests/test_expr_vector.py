@@ -166,3 +166,42 @@ def test_empty_inputs():
     evaluator = BatchEvaluator(builder.compile())
     rows, subs = evaluator.evaluate(events_to_pdf([]))
     assert len(rows) == 0
+
+
+def test_access_pruning_selective_workload_with_planted_matches():
+    """Two-phase access pruning (reference src/atree.rs:530-591) on its
+    home turf: narrow equality access predicates guarding wide ALL_OF
+    lazy siblings. Results must equal the dense evaluator exactly,
+    including planted rows engineered to fire specific subscriptions
+    (6.6x faster measured at 400 subs x 20k rows — recorded in
+    BENCH/PLANS.md)."""
+    import numpy as np
+    import pandas as pd
+
+    from a_tree_spark.expr import AttributeDefinition as A, AttributeTable
+
+    attrs = AttributeTable([A.integer("k"), A.integer_list("xs")])
+    builder = ForestBuilder(attrs)
+    rng = np.random.RandomState(7)
+    wides = {}
+    for i in range(60):
+        wide = sorted(rng.choice(100000, size=40, replace=False).tolist())
+        wides[i] = wide
+        builder.insert(i, f"k = {i % 50} and xs all of {wide}")
+    forest = builder.compile()
+
+    n = 4000
+    ks = rng.randint(0, 50, size=n).astype(object)
+    xs = [sorted(rng.randint(0, 100000, size=8).tolist()) for _ in range(n)]
+    for i in range(0, 60, 3):  # plant rows that DO satisfy sub i
+        ks[i] = i % 50
+        xs[i] = sorted(rng.choice(wides[i], size=5, replace=False).tolist())
+    pdf = pd.DataFrame({"k": pd.Series(ks, dtype=object),
+                        "xs": pd.Series(xs, dtype=object)})
+
+    dense = BatchEvaluator(forest)
+    pruned = BatchEvaluator(forest, access_pruning=True)
+    assert len(pruned.lazy_leaf_idxs) > 0  # pruning actually engaged
+    a = sorted(zip(*map(np.ndarray.tolist, dense.evaluate(pdf))))
+    b = sorted(zip(*map(np.ndarray.tolist, pruned.evaluate(pdf))))
+    assert a == b and len(a) >= 20  # planted matches found by both

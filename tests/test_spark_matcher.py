@@ -60,6 +60,18 @@ def test_strategies_agree(eventized, builder):
     assert len(a) > 0  # the workload matches something
 
 
+def test_access_pruning_agrees_end_to_end(eventized, builder):
+    """Two-phase access-predicate evaluation (reference
+    src/atree.rs:530-591) must be invisible in the results — same
+    matches as the dense vectorized strategy on the full standing
+    workload, through the real Spark stage."""
+    dense = sorted(map(tuple, match_events(eventized, builder).collect()))
+    pruned = sorted(map(tuple, match_events(
+        eventized, builder, access_pruning=True
+    ).collect()))
+    assert dense == pruned and len(dense) > 0
+
+
 def test_no_python_in_codegen_plan(eventized, builder):
     plan = match_events(eventized, builder, strategy="codegen")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
