@@ -91,6 +91,5 @@ PIPELINE_ORACLES = {
     "embedding_near_dup": similarity.embedding_near_dup_oracle(),
     "media_metadata": multimodal.media_metadata_oracle(),
     "media_features": multimodal.media_features_oracle(),
-    # media_frame_sample: rows-only (binary frame payload CRCs; DuckDB
-    # lacks Spark's crc32 — substring slicing is pinned in pytest)
+    "media_frame_sample": multimodal.sample_frames_oracle(),
 }

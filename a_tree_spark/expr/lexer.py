@@ -88,58 +88,59 @@ _NUM_START = set("0123456789-")
 _WS = set(" \t\n\r\f")
 
 
+# Single master regex (compile-path hot loop — 1e5-expression forests
+# lex ~1e7 tokens; one C-level match per token replaced a ~4-candidate
+# python loop, ~3x). Alternation order encodes the same semantics the
+# candidate loop had, pinned by the 30 ported lexer tests:
+# - multi-word keywords are unguarded (they beat their prefix identifier
+#   on length, e.g. "is nullable" -> IS_NULL + IDENT "able");
+# - single-word alphabetic keywords carry a negative lookahead so a
+#   LONGER identifier wins ("android" -> IDENT, not AND + IDENT);
+# - FLOAT before INT gives longest-match between them; FLOAT has no
+#   sign, so "-1.5" lexes Integer(-1) then an invalid "." (reference
+#   lexer quirk, src/lexer.rs).
+_KW_KIND = {literal: kind for literal, kind in _KEYWORDS}
+_MASTER_RE = re.compile(
+    r"(?P<WS>[ \t\n\r\f]+)"
+    r"|(?P<KW>is not empty|is not null|is empty|is null"
+    r"|not in|one of|none of|all of"
+    r"|(?:and|or|not|in|true|false)(?![a-zA-Z0-9_-]))"
+    r"|(?P<OP>&&|\|\||<=|>=|<>|[!<>=()\[\],])"
+    r"|(?P<IDENT>[a-zA-Z_][a-zA-Z0-9_-]*)"
+    r"|(?P<FLOAT>[0-9]+\.[0-9]*)"
+    r"|(?P<INT>-?[0-9]+)"
+    r"|(?P<STRING>\"(?:\\.|[^\"\\])*\"|'(?:\\.|[^'\\])*')"
+)
+
+
 def tokenize(text: str) -> Iterator[Token]:
     pos = 0
     n = len(text)
+    match = _MASTER_RE.match
     while pos < n:
-        c = text[pos]
-        if c in _WS:
-            pos = _WS_RE.match(text, pos).end()
-            if pos >= n:
-                break
-            c = text[pos]
-
-        candidates = []  # (len, kind, value)
-
-        for literal, kind in _KW_BY_CHAR.get(c, ()):
-            if text.startswith(literal, pos):
-                value = literal == "true" if kind == "BOOLEAN" else literal
-                candidates.append((len(literal), kind, value))
-                break  # per-char keyword lists stay longest-first
-
-        if c in _IDENT_START:
-            ident = _IDENT_RE.match(text, pos).group()
-            if not candidates:
-                yield Token("IDENT", ident, pos)
-                pos += len(ident)
-                continue
-            candidates.append((len(ident), "IDENT", ident))
-        elif c in _NUM_START:
-            m = _FLOAT_RE.match(text, pos)
-            if m:
-                candidates.append((len(m.group()), "FLOAT", Decimal(m.group())))
-            else:
-                m = _INT_RE.match(text, pos)
-                if m:
-                    candidates.append((len(m.group()), "INTEGER", int(m.group())))
-        elif c in "'\"":
-            m = _STRING_RE.match(text, pos)
-            if m:
-                # Reference trims *all* leading/trailing quote chars and keeps
-                # escape sequences raw (src/lexer.rs:72, test :319-332).
-                candidates.append((len(m.group()), "STRING", m.group().strip("'\"")))
-
-        if not candidates:
+        m = match(text, pos)
+        if m is None:
             raise LexicalError(f"invalid token at position {pos}: {text[pos:pos+10]!r}")
-
-        if len(candidates) == 1:
-            length, kind, value = candidates[0]
-        else:
-            # Longest match wins; ties go to the keyword (listed first).
-            best_len = max(c[0] for c in candidates)
-            length, kind, value = next(c for c in candidates if c[0] == best_len)
+        kind = m.lastgroup
+        value = m.group()
+        if kind == "WS":
+            pos = m.end()
+            continue
+        if kind == "KW" or kind == "OP":
+            kind = _KW_KIND[value]
+            if kind == "BOOLEAN":
+                value = value == "true"
+        elif kind == "INT":
+            kind = "INTEGER"
+            value = int(value)
+        elif kind == "FLOAT":
+            value = Decimal(value)
+        elif kind == "STRING":
+            # Reference trims *all* leading/trailing quote chars and
+            # keeps escape sequences raw (src/lexer.rs:72, test :319-332)
+            value = value.strip("'\"")
         yield Token(kind, value, pos)
-        pos += length
+        pos = m.end()
 
 
 def lex(text: str) -> list[Token]:

@@ -180,14 +180,39 @@ FROM bytes GROUP BY doc_id, kind
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """'Video' frame sampling: pick n byte offsets spread across the
     payload (stands in for timestamp-spread frame grabs); JVM-side
-    slicing, no Python."""
+    slicing, no Python. Frames surface as hex so the driver gets a full
+    value-level DuckDB oracle (round 1 emitted crc32, which DuckDB
+    lacks — this was the last rows-only query)."""
     frames = F.expr(
         f"transform(sequence(0, {n_frames - 1}), "
-        f"i -> substring(payload, 1 + i * greatest(length(payload) div {n_frames}, 1), 4))"
+        f"i -> hex(substring(payload, 1 + i * greatest(length(payload) div {n_frames}, 1), 4)))"
     )
     return (
         media.where(F.col("kind") == "video")
-        .select("doc_id", F.explode(frames).alias("frame_bytes"))
-        .withColumn("frame_crc", F.crc32("frame_bytes"))
-        .drop("frame_bytes")
+        .select("doc_id", F.posexplode(frames))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("frame_id"),
+            F.col("col").alias("frame_hex"),
+        )
     )
+
+
+def sample_frames_oracle(n_frames: int = 4, table: str = "documents") -> str:
+    """DuckDB rendering: the payload is hex-definable, so a 4-byte frame
+    at byte offset 1+i*step is the 8-char hex slice at 1+2*i*step."""
+    step = PAYLOAD_BYTES // n_frames  # greatest(.. div .., 1) with 32/4
+    return f"""
+WITH media AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           md5(text) || md5('p|' || text) AS hx
+    FROM {table}
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
+       upper(substring(hx, 1 + 2 * i * {step}, 8)) AS frame_hex
+FROM media, generate_series(0, {n_frames - 1}) t(i)
+WHERE kind = 'video'
+""".strip()

@@ -155,14 +155,19 @@ def knn_join(
     dense data round 1 finishes nearly everything.
     """
     n = grid_size(level)
-    # both sides re-join every expansion round: pin them so rounds don't
-    # recompute the upstream lineage (scan + encode) from scratch
+    # The POINTS side keeps its (shallow) lineage: scan -> project ->
+    # cell encode is a pruned columnar read, and re-running it per
+    # expansion round beats eagerly materializing the big table —
+    # round 1 localCheckpoint()ed all of points per knn call, a scale-
+    # killer at 1e12 rows and the main source of knn bench variance
+    # (VERDICT.md). Only the QUERY side — small, and shrinking every
+    # round — is pinned to truncate the per-round anti-join lineage.
     pts = with_cell_id(points, lat_col, lon_col, level).select(
         F.col(point_id_col),
         F.col(lat_col).alias("_p_lat"),
         F.col(lon_col).alias("_p_lon"),
         "cell_id",
-    ).localCheckpoint()
+    )
     pending = with_cell_id(queries, lat_col, lon_col, level).select(
         query_id_col,
         F.col(lat_col).alias("_q_lat"),

