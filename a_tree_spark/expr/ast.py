@@ -17,7 +17,7 @@ import enum
 import hashlib
 from dataclasses import dataclass
 from decimal import Decimal
-from typing import Union
+from typing import NamedTuple, Union
 
 from .errors import MismatchingTypes
 from .schema import AttributeKind, AttributeTable
@@ -186,9 +186,11 @@ def make_predicate(
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class Node:
-    """Parser output: And/Or/Not/Value tree (reference src/ast.rs:7-13)."""
+class Node(NamedTuple):
+    """Parser output: And/Or/Not/Value tree (reference src/ast.rs:7-13).
+
+    NamedTuple (not frozen dataclass): a 1e5-expression compile builds
+    ~1e6 nodes and frozen-dataclass __init__ is ~4x the cost."""
 
     tag: str  # "and" | "or" | "not" | "value"
     left: "Node | None" = None
@@ -233,8 +235,7 @@ def _zero_suppression(node: Node, negate: bool) -> "NnfNode":
     return NnfNode("value", predicate=predicate)
 
 
-@dataclass(frozen=True)
-class NnfNode:
+class NnfNode(NamedTuple):
     """NOT-free tree (reference OptimizedNode, src/ast.rs:16-20)."""
 
     tag: str  # "and" | "or" | "value"

@@ -21,15 +21,15 @@ Behavior-matched to the reference's logos lexer
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from decimal import Decimal
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 from .errors import LexicalError
 
 
-@dataclass(frozen=True)
-class Token:
+class Token(NamedTuple):
+    # NamedTuple, not frozen dataclass: construction is ~4x cheaper and
+    # 1e5-expression forests create ~1e7 tokens on the compile path
     kind: str
     value: object
     pos: int
@@ -113,10 +113,14 @@ _MASTER_RE = re.compile(
 )
 
 
-def tokenize(text: str) -> Iterator[Token]:
+def lex(text: str) -> list[Token]:
     pos = 0
     n = len(text)
     match = _MASTER_RE.match
+    kw_kind = _KW_KIND
+    token = Token
+    out: list[Token] = []
+    append = out.append
     while pos < n:
         m = match(text, pos)
         if m is None:
@@ -127,7 +131,7 @@ def tokenize(text: str) -> Iterator[Token]:
             pos = m.end()
             continue
         if kind == "KW" or kind == "OP":
-            kind = _KW_KIND[value]
+            kind = kw_kind[value]
             if kind == "BOOLEAN":
                 value = value == "true"
         elif kind == "INT":
@@ -139,9 +143,10 @@ def tokenize(text: str) -> Iterator[Token]:
             # Reference trims *all* leading/trailing quote chars and
             # keeps escape sequences raw (src/lexer.rs:72, test :319-332)
             value = value.strip("'\"")
-        yield Token(kind, value, pos)
+        append(token(kind, value, pos))
         pos = m.end()
+    return out
 
 
-def lex(text: str) -> list[Token]:
-    return list(tokenize(text))
+def tokenize(text: str) -> Iterator[Token]:
+    return iter(lex(text))

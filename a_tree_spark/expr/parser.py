@@ -56,16 +56,18 @@ class _Parser:
         self.tokens = tokens
         self.attributes = attributes
         self.pos = 0
+        self.n = len(tokens)  # hot loop: peek/next run ~10x per token
 
     def peek(self) -> Token | None:
-        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+        pos = self.pos
+        return self.tokens[pos] if pos < self.n else None
 
     def next(self) -> Token:
-        token = self.peek()
-        if token is None:
+        pos = self.pos
+        if pos >= self.n:
             raise ParserError("unexpected end of expression")
-        self.pos += 1
-        return token
+        self.pos = pos + 1
+        return self.tokens[pos]
 
     def expect(self, kind: str) -> Token:
         token = self.next()

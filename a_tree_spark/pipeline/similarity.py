@@ -28,13 +28,31 @@ DEFAULT_K = 5
 
 
 def _dot_sql(a: str, b: str, one_based: bool) -> str:
-    """Explicit left-assoc sum — identical fold order in both engines."""
+    """Oracle-side dot product: explicit left-assoc sum. The Spark side
+    uses ``_dot_spark`` (a sequential left fold over the zipped arrays),
+    which performs the additions in exactly this order — so the float
+    results are bit-for-bit comparable across engines."""
     offset = 1 if one_based else 0
     terms = [
         f"CAST({a}[{i + offset}] AS DOUBLE) * CAST({b}[{i + offset}] AS DOUBLE)"
         for i in range(EMBED_DIM)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _dot_spark(a: str, b: str) -> str:
+    """Spark-side dot product as a higher-order function: janino unrolls
+    an explicit 64-term sum into one giant consume method — three of
+    them in the near-dup join condition blew the 64KB method limit and
+    the whole stage fell back to interpreted (VERDICT.md round 1).
+    ``aggregate`` evaluates as a loop, so generated code stays tiny, and
+    its left fold adds in the same IEEE order as the oracle's flat
+    left-assoc sum."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def _plane_weight(plane: int, dim: int) -> int:
@@ -52,10 +70,27 @@ def _plane_sign_sql(emb: str, plane: int, one_based: bool) -> str:
     return f"(CASE WHEN ({' + '.join(terms)}) >= 0 THEN 1 ELSE 0 END)"
 
 
+def _plane_sign_spark(emb: str, plane: int) -> str:
+    weights = ", ".join(
+        f"CAST({_plane_weight(plane, d)} AS DOUBLE)" for d in range(EMBED_DIM)
+    )
+    dot = _dot_spark(emb, f"array({weights})")
+    return f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)"
+
+
 def bucket_sql(emb: str, one_based: bool) -> str:
-    """N_PLANES sign bits packed into one integer bucket key."""
+    """N_PLANES sign bits packed into one integer bucket key (oracle)."""
     terms = [
         f"{_plane_sign_sql(emb, p, one_based)} * {1 << p}" for p in range(N_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def bucket_spark(emb: str) -> str:
+    """Spark-side bucket key (HOF dot products; the constant weight
+    arrays constant-fold to literals)."""
+    terms = [
+        f"{_plane_sign_spark(emb, p)} * {1 << p}" for p in range(N_PLANES)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
@@ -75,7 +110,7 @@ def brute_force_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     joined = embeddings.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = joined.withColumn("dot", F.expr(_dot_sql("embedding", "q", False)))
+    scored = joined.withColumn("dot", F.expr(_dot_spark("embedding", "q")))
     window = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(window))
@@ -103,15 +138,15 @@ SELECT query_id, neighbor_id, rank FROM (
 def lsh_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     """ANN: hyperplane-LSH bucket join + exact rerank inside buckets."""
     with_bucket = embeddings.withColumn(
-        "bucket", F.expr(bucket_sql("embedding", False))
+        "bucket", F.expr(bucket_spark("embedding"))
     )
     queries = _queries(embeddings).withColumn(
-        "bucket", F.expr(bucket_sql("q", False))
+        "bucket", F.expr(bucket_spark("q"))
     )
     candidates = with_bucket.join(F.broadcast(queries), "bucket").where(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = candidates.withColumn("dot", F.expr(_dot_sql("embedding", "q", False)))
+    scored = candidates.withColumn("dot", F.expr(_dot_spark("embedding", "q")))
     window = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(window))
@@ -176,7 +211,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold_x1m: int = 990000)
     doubles — deterministic since both engines evaluate the identical
     expression; output carries ids only."""
     with_bucket = embeddings.withColumn(
-        "bucket", F.expr(bucket_sql("embedding", False))
+        "bucket", F.expr(bucket_spark("embedding"))
     )
     left = with_bucket.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
@@ -185,9 +220,9 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold_x1m: int = 990000)
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
     )
     pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
-    dot = F.expr(_dot_sql("ea", "eb", False))
-    norm_a = F.expr(_dot_sql("ea", "ea", False))
-    norm_b = F.expr(_dot_sql("eb", "eb", False))
+    dot = F.expr(_dot_spark("ea", "eb"))
+    norm_a = F.expr(_dot_spark("ea", "ea"))
+    norm_b = F.expr(_dot_spark("eb", "eb"))
     t = threshold_x1m / 1e6
     return pairs.where(
         (dot > 0) & (dot * dot >= F.lit(t * t) * norm_a * norm_b)

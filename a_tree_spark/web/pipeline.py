@@ -292,9 +292,12 @@ def fused_match_pages(
             f"root ids must fit in {sub_width} bits at level {level}"
         )
 
-    centroid_map: dict[str, tuple[float, float]] = {}
+    centroid_lat: dict[str, float] = {}
+    centroid_lon: dict[str, float] = {}
     for t, _lang, clat, clon, _w in TLD_TABLE:
-        centroid_map.setdefault(t.split("-")[-1], (clat, clon))
+        key = t.split("-")[-1]
+        centroid_lat.setdefault(key, clat)
+        centroid_lon.setdefault(key, clon)
 
     names = PAGE_ATTRIBUTES.names()
     idx = {name: i for i, name in enumerate(names)}
@@ -376,15 +379,11 @@ def fused_match_pages(
                 lead_flat = flat_arr.to_numpy(zero_copy_only=False)
 
             has_geo = ~np.isnan(meta_lat)
-            cent = tld_series.map(centroid_map)
-            cent_lat = np.array(
-                [c[0] if isinstance(c, tuple) else np.nan for c in cent],
-                dtype=np.float64,
-            )
-            cent_lon = np.array(
-                [c[1] if isinstance(c, tuple) else np.nan for c in cent],
-                dtype=np.float64,
-            )
+            # two direct dict maps -> float64 (missing tld => NaN);
+            # round 1 mapped to tuples then ran a per-row isinstance
+            # comprehension — per-row python in the hot kernel
+            cent_lat = tld_series.map(centroid_lat).to_numpy(np.float64, na_value=np.nan)
+            cent_lon = tld_series.map(centroid_lon).to_numpy(np.float64, na_value=np.nan)
             lat = np.where(has_geo, meta_lat, cent_lat)
             lon = np.where(has_geo, meta_lon, cent_lon)
             no_pos = np.isnan(lat) | np.isnan(lon)
