@@ -46,6 +46,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_embeddings(spark, sf_dir))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         similarity.vectors_with_dups(_embeddings(spark, sf_dir))
@@ -74,6 +78,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -88,6 +93,7 @@ PIPELINE_ORACLES = {
     "dedup_simhash": dedup.simhash_oracle_sql(),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(),
+    "ann_ivf": similarity.ivf_topk_oracle(),
     "embedding_near_dup": similarity.embedding_near_dup_oracle(),
     "media_metadata": multimodal.media_metadata_oracle(),
     "media_features": multimodal.media_features_oracle(),

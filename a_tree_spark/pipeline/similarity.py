@@ -244,3 +244,127 @@ FROM vecs a JOIN vecs b
   ON {a_bucket} = {b_bucket} AND a.vec_id < b.vec_id
 WHERE {dot} > 0 AND {dot} * {dot} >= {t!r} * {t!r} * ({norm_a}) * ({norm_b})
 """.strip()
+
+
+# ------------------------------------------------------------- IVF ANN
+
+# Coarse quantizer: a deterministic centroid subset of the vectors
+# themselves (ids 3, 100, 197, ... — stride 97), so both engines derive
+# the identical codebook with no training step. Real IVF would k-means
+# these; the INDEX structure (assign -> probe -> rerank) is what scales.
+CENTROID_STRIDE = 97
+CENTROID_OFFSET = 3
+CENTROID_MAX_ID = 1552   # <= 16 centroids at any sf
+N_PROBE = 2
+
+
+def _dist2_spark(a: str, b: str) -> str:
+    """Squared L2 as a loop HOF (see _dot_spark for why not unrolled)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dist2_sql(a: str, b: str) -> str:
+    """Oracle-side squared L2: flat left-assoc sum (same IEEE order as
+    the Spark HOF's left fold)."""
+    terms = [
+        f"(CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{i + 1}] AS DOUBLE) - CAST({b}[{i + 1}] AS DOUBLE))"
+        for i in range(EMBED_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _centroid_filter(col: str = "vec_id") -> str:
+    return (
+        f"{col} % {CENTROID_STRIDE} = {CENTROID_OFFSET} "
+        f"AND {col} < {CENTROID_MAX_ID}"
+    )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (inverted lists), probe the N_PROBE nearest lists per query, exact
+    dot-product rerank inside the probed lists.
+
+    Scale shape (1e12 rows): the assignment is a broadcast nested-loop
+    against <=16 centroids — one pass over the data, no all-pairs; the
+    probe join is an equi-join on centroid id (bounded fan-out
+    N_PROBE * list size). At real scale the per-vector argmin would use
+    min_by aggregation instead of a window so vectors don't ride through
+    a shuffle; the window form is kept here because the DuckDB oracle
+    mirrors it line for line (ties break on centroid id identically)."""
+    cents = embeddings.where(F.expr(_centroid_filter())).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(_dist2_spark("embedding", "c")))
+        .withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (
+        _queries(embeddings).crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(_dist2_spark("q", "c")))
+        .withColumn("r", F.row_number().over(w_probe))
+        .where(F.col("r") <= N_PROBE)
+        .select("query_id", "q", "cid")
+    )
+
+    scored = (
+        probes.join(assigned, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_dot_spark("embedding", "q")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ivf_topk_oracle(k: int = DEFAULT_K, table: str = "embeddings") -> str:
+    d_assign = _dist2_sql("e.embedding", "c.embedding")
+    d_probe = _dist2_sql("q.embedding", "c.embedding")
+    dot = _dot_sql("a.embedding", "p.embedding", True)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding FROM {table} WHERE {_centroid_filter()}
+),
+assigned AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d_assign}, c.cid) AS r
+        FROM {table} e CROSS JOIN cents c
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, embedding, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d_probe}, c.cid) AS r
+        FROM {table} q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE r <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id ORDER BY {dot} DESC, a.vec_id
+           ) AS BIGINT) AS rank
+    FROM probes p
+    JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+) WHERE rank <= {k}
+""".strip()

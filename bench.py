@@ -132,6 +132,7 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         "dedup_minhash_lsh",
         "ann_brute_force",
         "ann_lsh",
+        "ann_ivf",
         "media_features",
     ]:
         if name in queries:

@@ -20,7 +20,7 @@ def test_oracle_queries_nonempty(spark):
     # guard against vacuous green: the interesting ones must return rows
     for name in ["text_features", "dedup_exact", "dedup_ngram_jaccard",
                  "dedup_minhash_lsh", "ann_brute_force", "ann_lsh",
-                 "media_metadata"]:
+                 "ann_ivf", "media_metadata"]:
         assert PIPELINE_QUERIES[name](spark, SF_DIR).count() > 0, name
 
 
