@@ -64,6 +64,17 @@ def _q_match_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_events(_eventized(spark, sf_dir), _builder(), strategy="codegen")
 
 
+def _q_match_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase access-predicate pruning (reference atree.rs:530-591)
+    under the same oracle as the dense strategies — the driver-visible
+    correctness row for the A-Tree fidelity feature."""
+    from a_tree_spark.engine.matcher import match_events
+
+    return match_events(
+        _eventized(spark, sf_dir), _builder(), access_pruning=True
+    )
+
+
 def _q_match_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a_tree_spark.engine.matcher import match_events
 
@@ -81,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "match_vectorized": _q_match_vectorized,
         "match_codegen": _q_match_codegen,
+        "match_pruned": _q_match_pruned,
         "match_agg_by_sub": _q_match_agg,
         "cell_encode": SQ.q_cell_encode,
         "cell_agg": SQ.q_cell_agg,
@@ -103,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "match_vectorized": matcher,
         "match_codegen": matcher,
+        "match_pruned": matcher,
         "match_agg_by_sub": (
             f"SELECT sub_id, COUNT(*) AS n_matches, "
             f"COUNT(DISTINCT event_id) AS n_events "

@@ -99,13 +99,18 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         partials = fused_match_pages(keyed(pages), forest, emit="cell_root_partials")
         return cell_stats_from_root_partials(partials, root_map).count()
 
-    # steady-state: best of 4 — the sandbox VM sees intermittent host
-    # CPU steal (2-4x swings on identical runs); min-of-N recovers the
-    # machine's actual capability
+    # steady-state: min-of-N — the sandbox VM sees intermittent host
+    # CPU steal (2-4x swings on identical runs); keep running (up to 7)
+    # until the two best runs agree within 20%, so one quiet run can't
+    # masquerade as the steady state and one streak can't poison it
     runs = []
-    for _ in range(4):
+    for i in range(7):
         timed("web_pipeline", flagship)
         runs.append(timings["web_pipeline"])
+        if i >= 3:
+            best_two = sorted(runs)[:2]
+            if best_two[1] <= best_two[0] * 1.2:
+                break
     timings["web_pipeline"] = min(runs)
     extras["web_pipeline_runs"] = runs
     extras["docs_per_sec"] = round(n_pages / timings["web_pipeline"], 1)
