@@ -108,16 +108,27 @@ class StageCheckpoint:
                 )
             )
             hash_cols = sorted(c for c in written.columns if c != "_attempt")
+            written_stats = written.groupBy("unit_id").agg(
+                F.count("*").alias("row_count"),
+                # order-insensitive, overflow-free content hash;
+                # canonical column order: joins reorder columns, and
+                # xxhash64 over a struct is order-sensitive
+                F.bit_xor(F.xxhash64(F.struct(*hash_cols))).alias(
+                    "content_hash"
+                ),
+            )
+            # manifest from PENDING unit ids, not written rows: a unit
+            # whose compute() legitimately yields zero rows must still
+            # commit (row_count 0, null hash) or it is recomputed on
+            # every resume forever (ADVICE.md round 2)
             lineage = (
-                written.groupBy("unit_id")
-                .agg(
-                    F.count("*").alias("row_count"),
-                    # order-insensitive, overflow-free content hash;
-                    # canonical column order: joins reorder columns, and
-                    # xxhash64 over a struct is order-sensitive
-                    F.bit_xor(F.xxhash64(F.struct(*hash_cols))).alias(
-                        "content_hash"
-                    ),
+                pending.select(F.col(unit_col).alias("unit_id"))
+                .distinct()
+                .join(written_stats, "unit_id", "left")
+                .select(
+                    "unit_id",
+                    F.coalesce(F.col("row_count"), F.lit(0)).alias("row_count"),
+                    "content_hash",
                 )
                 .withColumn("stage", F.lit(self.stage))
                 .withColumn("_attempt", F.lit(attempt))
@@ -144,8 +155,13 @@ class StageCheckpoint:
         return (
             recorded.join(actual, "unit_id", "left")
             .where(
-                (F.col("actual_rows") != F.col("row_count"))
-                | (F.col("actual_hash") != F.col("content_hash"))
-                | F.col("actual_rows").isNull()
+                # zero-row units commit with row_count 0 / null hash and
+                # have no data rows, so actual_rows null is consistent
+                # exactly when the recorded count is 0
+                (F.coalesce(F.col("actual_rows"), F.lit(0)) != F.col("row_count"))
+                | (
+                    (F.col("row_count") > 0)
+                    & ~F.col("actual_hash").eqNullSafe(F.col("content_hash"))
+                )
             )
         )

@@ -104,6 +104,18 @@ def decode_stub_batch(payloads, kinds) -> "object":
         raise NotImplementedError(
             f"no decoder for kind {kinds_arr[bad][0]!r}"
         )
+    # every payload must be exactly PAYLOAD_BYTES: mixed lengths whose
+    # total happens to be a multiple of 32 would otherwise reshape into
+    # wrong per-row features instead of failing (ADVICE.md round 2)
+    lengths = np.fromiter(
+        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+    )
+    if (lengths != PAYLOAD_BYTES).any():
+        bad_i = int(np.flatnonzero(lengths != PAYLOAD_BYTES)[0])
+        raise ValueError(
+            f"payload {bad_i} has {lengths[bad_i]} bytes; the stub codec "
+            f"requires exactly {PAYLOAD_BYTES}"
+        )
     arr = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
         len(payloads), PAYLOAD_BYTES
     )
@@ -201,7 +213,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 def sample_frames_oracle(n_frames: int = 4, table: str = "documents") -> str:
     """DuckDB rendering: the payload is hex-definable, so a 4-byte frame
     at byte offset 1+i*step is the 8-char hex slice at 1+2*i*step."""
-    step = PAYLOAD_BYTES // n_frames  # greatest(.. div .., 1) with 32/4
+    # mirror the Spark side's greatest(length div n, 1) clamp: for
+    # n_frames > PAYLOAD_BYTES the unclamped step would be 0 and the
+    # oracle would diverge (ADVICE.md round 2)
+    step = max(PAYLOAD_BYTES // n_frames, 1)
     return f"""
 WITH media AS (
     SELECT doc_id,

@@ -281,11 +281,16 @@ def fused_match_pages(
     # merging counts under a wrong (cell, sub) (ADVICE.md round 1).
     sub_width = 63 - (2 * level + 1)
     if emit == "cell_partials":
-        max_sub = max(forest._expressions.keys(), default=0)
-        if not 0 <= int(max_sub) < (1 << sub_width):
+        # both bounds: a single negative sub id among positive ones would
+        # pass a max-only check and still corrupt the packed key
+        # (sign bits bleed into the cell field) — ADVICE.md round 2
+        sub_keys = forest._expressions.keys()
+        max_sub = max(sub_keys, default=0)
+        min_sub = min(sub_keys, default=0)
+        if not (0 <= int(min_sub) and int(max_sub) < (1 << sub_width)):
             raise ValueError(
-                f"sub ids must fit in {sub_width} bits at level {level}; "
-                f"got max sub_id {max_sub}"
+                f"sub ids must fit in [0, 2^{sub_width}) at level {level}; "
+                f"got sub_id range [{min_sub}, {max_sub}]"
             )
     if emit == "cell_root_partials" and len(evaluator.root_nodes) >= (1 << sub_width):
         raise ValueError(

@@ -70,6 +70,66 @@ def test_media_features_stub_plumbing(spark):
         decode_stub(b"xx", "hologram")
     with pytest.raises(NotImplementedError):
         decode_stub_batch([b"x" * 32], ["hologram"])
+    # ADVICE round 2: mixed-length payloads whose total is a multiple of
+    # PAYLOAD_BYTES must raise, not silently reshape into wrong features
+    with pytest.raises(ValueError, match="requires exactly"):
+        decode_stub_batch([b"x" * 16, b"y" * 48], ["image", "audio"])
+
+
+def test_frame_sample_oracle_step_clamp(spark):
+    """ADVICE round 2: for n_frames > PAYLOAD_BYTES the oracle's step
+    must clamp to 1 like the Spark side's greatest(div, 1)."""
+    from a_tree_spark.pipeline.multimodal import (
+        media_table,
+        sample_frames,
+        sample_frames_oracle,
+    )
+
+    media = media_table(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    assert_matches_duckdb(
+        sample_frames(media, n_frames=48), sample_frames_oracle(n_frames=48)
+    )
+
+
+def test_checkpoint_commits_empty_units(spark, tmp_path):
+    """ADVICE round 2: a unit whose compute() yields zero rows must still
+    commit a manifest row (row_count 0) so resume never recomputes it."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.pipeline.checkpoint import StageCheckpoint
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    units = spark.createDataFrame(
+        [(i,) for i in range(12)], "unit_id bigint"
+    )  # units 10, 11 have NO event rows -> compute yields zero for them
+
+    computed_units = []
+
+    def compute(pending):
+        computed_units.append(
+            sorted(r["unit_id"] for r in pending.collect())
+        )
+        return (
+            events.withColumn("unit_id", F.col("event_id") % 10)
+            .join(F.broadcast(pending), "unit_id")
+            .groupBy("unit_id", "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    ckpt = StageCheckpoint(spark, str(tmp_path), "agg")
+    ckpt.run_stage(units, compute)
+    assert computed_units[-1] == list(range(12))
+    committed = {r["unit_id"] for r in ckpt.completed_units().collect()}
+    assert committed == set(range(12))  # 10/11 committed with 0 rows
+
+    # resume: nothing pending, compute never called again
+    out = ckpt.run_stage(units, compute)
+    assert len(computed_units) == 1
+    assert out.where("unit_id >= 10").count() == 0
+    manifest = {r["unit_id"]: r["row_count"] for r in ckpt.manifest().collect()}
+    assert manifest[10] == 0 and manifest[11] == 0
+    # the audit treats committed-empty units as consistent
+    assert ckpt.verify().count() == 0
 
 
 def test_embedding_near_dup_finds_planted_pairs(spark):

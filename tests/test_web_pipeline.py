@@ -261,6 +261,14 @@ def test_cell_partials_packing_handles_wide_sub_ids(spark):
     with pytest.raises(ValueError, match="sub ids must fit"):
         fused_match_pages(pages, oversized, emit="cell_partials")
 
+    # ADVICE round 2: a negative id among valid ones passed the max-only
+    # bound check and corrupted the packed key silently
+    negative = ForestBuilder(PAGE_ATTRIBUTES)
+    negative.insert(5, "lang = 'en'")
+    negative.insert(-1, "lang = 'fr'")
+    with pytest.raises(ValueError, match="sub ids must fit"):
+        fused_match_pages(pages, negative, emit="cell_partials")
+
 
 def test_cell_skew_exists(spark):
     """The Zipf ccTLD draw must create hot cells (else the salting path
