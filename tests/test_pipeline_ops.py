@@ -143,6 +143,21 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     for vec_id in range(0, n_vecs, 50):
         assert (vec_id, vec_id + 100000) in planted
 
+    # scale-safe banding: widening the per-band plane count (the
+    # size-aware knob, 2^R buckets per band) must keep recall 1.0 on the
+    # planted pairs — positive scaling preserves every hyperplane sign,
+    # so true duplicates collide in ALL bands at ANY R
+    from a_tree_spark.pipeline import similarity as S
+
+    assert S.neardup_planes_per_band(10**12) > S.NEARDUP_PLANES_PER_BAND
+    vecs = S.vectors_with_dups(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(vecs, planes_per_band=14).collect()
+    }
+    for vec_id in range(0, n_vecs, 50):
+        assert (vec_id, vec_id + 100000) in wide
+
 
 def test_exact_dedup_finds_planted_duplicates(spark):
     # the derived corpus plants doc_id%5==0 as exact copies
