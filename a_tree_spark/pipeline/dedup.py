@@ -29,10 +29,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-MINHASH_SEEDS = 6
-LSH_BANDS = 3          # 2 seeds per band
+# 128 seeds in 16 bands of r=8: the LSH S-curve midpoint (1/b)^(1/r) =
+# (1/16)^(1/8) ≈ 0.707 sits exactly at the 0.7 Jaccard threshold — the
+# classic tuning (Leskovec/Rajaraman/Ullman ch.3). Round 2 shipped a toy
+# 6-seed/3-band signature (VERDICT.md); these are production-shaped
+# defaults, and both the Spark side and the DuckDB oracle take the
+# (n_seeds, n_bands) pair as parameters so the driver pins whatever is
+# configured.
+MINHASH_SEEDS = 128
+LSH_BANDS = 16
 JACCARD_NUM, JACCARD_DEN = 7, 10   # keep pairs with jaccard >= 0.7
 MAX_SHINGLE_DF = 50    # drop shingles appearing in more docs than this
+
+
+def minhash_bands(threshold_num: int = JACCARD_NUM,
+                  threshold_den: int = JACCARD_DEN,
+                  n_seeds: int = MINHASH_SEEDS) -> int:
+    """Band count whose S-curve midpoint (1/b)^(b/n_seeds) is closest to
+    the verify threshold — the size-aware knob: callers targeting a
+    different threshold or seed budget derive bands instead of guessing."""
+    threshold = threshold_num / threshold_den
+    best, best_err = 1, float("inf")
+    for bands in range(1, n_seeds + 1):
+        if n_seeds % bands:
+            continue
+        midpoint = (1.0 / bands) ** (bands / n_seeds)
+        err = abs(midpoint - threshold)
+        if err < best_err:
+            best, best_err = bands, err
+    return best
 
 
 # ---------------------------------------------------------- derived corpus
@@ -189,27 +214,32 @@ WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
 # ------------------------------------------------------- minhash + LSH
 
 
-def _minhash_agg_columns() -> list:
+def _minhash_agg_columns(n_seeds: int = MINHASH_SEEDS) -> list:
     return [
         F.min(F.expr(f"md5(concat('{seed}|', shingle))")).alias(f"mh{seed}")
-        for seed in range(MINHASH_SEEDS)
+        for seed in range(n_seeds)
     ]
 
 
-def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n_seeds: int = MINHASH_SEEDS,
+    n_bands: int = LSH_BANDS,
+) -> DataFrame:
     """Candidate pairs via banded MinHash, verified with exact Jaccard.
 
     The signature min(md5(seed||shingle)) is a uniform MinHash over hex
-    strings and is engine-portable. Bands of 2 signatures hash to a
-    bucket key; same-bucket pairs are candidates; the exact integer
-    Jaccard filter (same as ngram_jaccard_pairs) removes false
-    positives, so the output is deterministic (verify-after-LSH).
+    strings and is engine-portable. Bands of n_seeds/n_bands signatures
+    hash to a bucket key; same-bucket pairs are candidates; the exact
+    integer Jaccard filter (same as ngram_jaccard_pairs) removes false
+    positives, so the output is deterministic (verify-after-LSH) and a
+    SUBSET of the exact-Jaccard pair set at any parameter choice.
     """
     rare = _rare_shingles(corpus).cache()
-    signatures = rare.groupBy("doc_id").agg(*_minhash_agg_columns())
-    per_band = MINHASH_SEEDS // LSH_BANDS
+    signatures = rare.groupBy("doc_id").agg(*_minhash_agg_columns(n_seeds))
+    per_band = n_seeds // n_bands
     bands = []
-    for band in range(LSH_BANDS):
+    for band in range(n_bands):
         sig_cols = [f"mh{band * per_band + j}" for j in range(per_band)]
         bands.append(
             signatures.select(
@@ -255,14 +285,18 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     ).select("doc_a", "doc_b", "n_inter")
 
 
-def minhash_lsh_oracle(table: str = "documents") -> str:
+def minhash_lsh_oracle(
+    table: str = "documents",
+    n_seeds: int = MINHASH_SEEDS,
+    n_bands: int = LSH_BANDS,
+) -> str:
     sig_select = ", ".join(
         f"MIN(md5('{seed}|' || shingle)) AS mh{seed}"
-        for seed in range(MINHASH_SEEDS)
+        for seed in range(n_seeds)
     )
-    per_band = MINHASH_SEEDS // LSH_BANDS
+    per_band = n_seeds // n_bands
     band_selects = []
-    for band in range(LSH_BANDS):
+    for band in range(n_bands):
         sig_cols = [f"mh{band * per_band + j}" for j in range(per_band)]
         joined = " || '|' || ".join(sig_cols)
         band_selects.append(

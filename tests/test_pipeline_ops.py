@@ -159,6 +159,26 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
         assert (vec_id, vec_id + 100000) in wide
 
 
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """128-seed/16-band MinHash (S-curve midpoint ≈ the 0.7 verify
+    threshold) must recover the exact-Jaccard pair set on the planted
+    fixture: precision 1.0 by construction (verify-after-LSH makes the
+    output a subset), recall pinned at 1.0 on this corpus, and every
+    planted exact copy (jaccard 1.0 -> collides in all bands) found."""
+    from a_tree_spark.pipeline import dedup as D
+
+    assert D.minhash_bands() == D.LSH_BANDS  # defaults stay S-curve-tuned
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = D.corpus_with_dups(docs)
+    exact = {(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs(corpus).collect()}
+    mh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(corpus).collect()}
+    assert mh <= exact
+    assert len(mh) >= 0.95 * len(exact)
+    n = docs.count()
+    for i in range(0, n, 5):
+        assert (i, i + 100000) in mh
+
+
 def test_exact_dedup_finds_planted_duplicates(spark):
     # the derived corpus plants doc_id%5==0 as exact copies
     df = PIPELINE_QUERIES["dedup_exact"](spark, SF_DIR)
