@@ -11,9 +11,11 @@ src/atree.rs:1182-1184).
 Two physical strategies:
 
 - ``vectorized`` (default, scales to 1e5+ subscriptions): driver
-  compiles + broadcasts the CSE forest; ``mapInPandas`` evaluates each
-  batch with numpy tri-state sweeps. One Python stage, no shuffle —
-  matching is embarrassingly parallel over event partitions.
+  compiles + broadcasts the CSE forest; ``mapInArrow`` evaluates each
+  RecordBatch with numpy tri-state sweeps over zero-copy Arrow views
+  (list columns never materialize as python objects). One Python stage,
+  no shuffle — matching is embarrassingly parallel over event
+  partitions.
 - ``codegen`` (small subscription sets): each expression becomes a
   Catalyst boolean Column; matches emit via a single
   explode(filter(array(when(...)))) projection — pure JVM, whole-stage
@@ -22,16 +24,12 @@ Two physical strategies:
   1e5 of them.
 
 Plan shape at scale (100 TB reasoning): scan -> project needed columns
-(parquet column pruning) -> mapInPandas/project -> optional aggregation.
+(parquet column pruning) -> mapInArrow/project -> optional aggregation.
 No shuffle anywhere in the match itself; the only shuffles are whatever
 the caller does downstream with the matches.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -119,20 +117,41 @@ def _match_vectorized(
     id_field = projected.schema[event_id_col]
     carry_fields = [projected.schema[c] for c in carry]
 
-    def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, not mapInPandas: pandas conversion materializes every
+    # list cell as a python list object and _ListColumn.__init__ walks
+    # them row by row — the round-2 hot-path anti-pattern (VERDICT.md).
+    # Arrow batches keep list columns as (offsets, values) buffers that
+    # arrow_columns turns into _ListColumn.from_parts views zero-copy.
+    def match_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         ev = bc.value
-        for pdf in batches:
-            rows, subs = ev.evaluate(pdf)
-            out = {"event_id": pdf[event_id_col].to_numpy()[rows], "sub_id": subs}
+        sub_type = pa.int64() if sub_id_type == "bigint" else pa.int32()
+        for batch in batches:
+            rows, subs = ev.evaluate_arrow(batch)
+            take_idx = pa.array(rows)
+            id_arr = batch.column(batch.schema.get_field_index(event_id_col))
+            arrays = [
+                pc.take(id_arr, take_idx),
+                pa.array(subs, type=pa.int64()).cast(sub_type),
+            ]
             for c in carry:
-                out[c] = pdf[c].to_numpy()[rows]
-            yield pd.DataFrame(out)
+                arrays.append(
+                    pc.take(
+                        batch.column(batch.schema.get_field_index(c)),
+                        take_idx,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["event_id", "sub_id", *carry]
+            )
 
     out_schema = ", ".join(
         [f"event_id {id_field.dataType.simpleString()}", f"sub_id {sub_id_type}"]
         + [f"{f.name} {f.dataType.simpleString()}" for f in carry_fields]
     )
-    return projected.mapInPandas(match_batches, schema=out_schema)
+    return projected.mapInArrow(match_batches, schema=out_schema)
 
 
 def _match_codegen(

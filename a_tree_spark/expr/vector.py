@@ -495,6 +495,126 @@ class BatchEvaluator:
                 cache[attr_index] = self._scalar_column(series, definition.kind)
         return cache
 
+    # --------------------------------------------------- arrow fast path
+
+    #: generic ops that read the flattened element values (everything
+    #: else on a list attribute — is empty / is null — needs only
+    #: lengths/mask, so flat materialization can be skipped)
+    _FLAT_OPS = (Op.ONE_OF, Op.NONE_OF, Op.ALL_OF, Op.NOT_ALL_OF)
+
+    def arrow_columns(self, batch) -> dict[int, object]:
+        """Prepared column cache straight from an Arrow RecordBatch.
+
+        List attributes build via ``_ListColumn.from_parts`` on the
+        ListArray's offsets/values (``pc.list_value_length`` +
+        ``pc.list_flatten``) — the per-row python loop in
+        ``_ListColumn.__init__`` never runs (VERDICT.md round 2: that
+        loop was the general matcher's hot-path anti-pattern). String
+        lists whose leaves are all member-grouped dictionary-encode, so
+        only UNIQUE tokens cross into Python (same trick as the fused
+        kernel, web/pipeline.py)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .schema import AttributeKind
+
+        forest = self.forest
+        needed = {leaf.attr_index for leaf in forest.leaves}
+        cache: dict[int, object] = {}
+        for attr_index in needed:
+            definition = forest.attributes.definition(attr_index)
+            arr = batch.column(batch.schema.get_field_index(definition.name))
+            if not definition.kind.is_list:
+                cache[attr_index] = self._scalar_from_arrow(
+                    arr, definition.kind
+                )
+                continue
+            mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            lengths = (
+                pc.fill_null(pc.list_value_length(arr), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = pc.list_flatten(arr)
+            group = next(
+                (
+                    g
+                    for g in self.member_groups
+                    if g.attr_index == attr_index and g.is_list
+                ),
+                None,
+            )
+            needs_flat = group is None or any(
+                forest.leaves[i].attr_index == attr_index
+                and forest.leaves[i].op in self._FLAT_OPS
+                for i in self.generic_leaves
+            )
+            vids = None
+            if group is not None and (
+                pa.types.is_string(flat.type)
+                or pa.types.is_large_string(flat.type)
+            ):
+                encoded = pc.dictionary_encode(flat)
+                vids = group.map_unique(encoded.dictionary.to_pylist())[
+                    encoded.indices.to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                ]
+            flat_np = (
+                flat.to_numpy(zero_copy_only=False) if needs_flat else None
+            )
+            cache[attr_index] = _ListColumn.from_parts(
+                mask, lengths, flat_np, vids=vids
+            )
+        return cache
+
+    def _scalar_from_arrow(self, arr, kind) -> _ScalarColumn:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .schema import AttributeKind
+
+        mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        if kind is AttributeKind.STRING:
+            return _ScalarColumn(mask, None, arr.to_pandas())
+        if kind is AttributeKind.BOOLEAN and pa.types.is_boolean(arr.type):
+            values = (
+                pc.fill_null(arr, False)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            return _ScalarColumn(mask, values)
+        if pa.types.is_integer(arr.type):
+            # INTEGER attrs, and FLOAT attrs the matcher pre-scaled to
+            # int64 fixed-point JVM-side (engine/matcher.py)
+            values = (
+                pc.fill_null(arr, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return _ScalarColumn(mask, values)
+        # anything else (object decimals, unexpected types): the pandas
+        # builder knows the slow exact conversions
+        return self._scalar_column(arr.to_pandas(), kind)
+
+    def evaluate_arrow(self, batch) -> tuple[np.ndarray, np.ndarray]:
+        """Arrow analog of ``evaluate``: (row_positions, sub_ids) pairs
+        for one RecordBatch, chunked to the memory budget via zero-copy
+        ``batch.slice`` (pc kernels honor slice offsets)."""
+        n_total = batch.num_rows
+        if n_total == 0 or len(self.sub_ids) == 0:
+            return np.empty(0, dtype=np.int64), self.sub_ids[:0]
+        chunk = self._chunk_rows(n_total)
+        out_rows: list[np.ndarray] = []
+        out_subs: list[np.ndarray] = []
+        for start in range(0, n_total, chunk):
+            piece = batch.slice(start, min(chunk, n_total - start))
+            cache = self.arrow_columns(piece)
+            rows, subs = self.evaluate_prepared(cache, piece.num_rows)
+            out_rows.append(rows + start)
+            out_subs.append(subs)
+        return np.concatenate(out_rows), np.concatenate(out_subs)
+
     # ------------------------------------------------------------ leaves
 
     def _eval_generic_leaf(self, leaf, col, n: int) -> np.ndarray:

@@ -53,7 +53,7 @@ def stateful_match_totals(
     matches_stream: a *streaming* DataFrame with a sub_id column (e.g.
     produced inside foreachBatch is not allowed — feed the eventized
     stream through match_events first; match_events is stream-safe
-    because mapInPandas is stateless).
+    because mapInArrow is stateless).
     emit_sink: fn(totals_df, batch_id) for foreachBatch-free testing we
     instead return the writer; see tests.
     """
@@ -95,7 +95,7 @@ def windowed_match_counts(
     watermark so late events older than the watermark are dropped and
     state stays bounded. Use with writeStream in update/append mode.
 
-    The watermark is applied to the match_events OUTPUT: mapInPandas
+    The watermark is applied to the match_events OUTPUT: mapInArrow
     emits fresh attributes, so a watermark declared upstream does not
     survive the Python stage and the windowed aggregation would run
     unbounded (ADVICE.md round 1). ts rides through via carry_cols and

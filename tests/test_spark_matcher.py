@@ -81,4 +81,4 @@ def test_vectorized_plan_prunes_columns(eventized, builder):
     # the matcher projects only the attributes leaves touch + event_id
     df = match_events(eventized, builder, strategy="vectorized")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
