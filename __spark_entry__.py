@@ -45,17 +45,24 @@ def _matcher_oracle() -> str:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: vectorized predicate matching (the reference's `search`,
-    src/atree.rs:255-311, generalized to a DataFrame of events)."""
+    src/atree.rs:255-311, generalized to a DataFrame of events), on the
+    cost-model-selected auto strategy."""
     from a_tree_spark.engine.matcher import match_events
 
     events = _eventized(spark, "/root/testdata/sf0.001")
-    return match_events(events, _builder(), strategy="vectorized")
+    return match_events(events, _builder())
 
 
 def _q_match_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense single-phase sweep, pinned explicitly (access_pruning=False)
+    so this row keeps exercising the non-pruned kernel now that the
+    default is cost-model auto."""
     from a_tree_spark.engine.matcher import match_events
 
-    return match_events(_eventized(spark, sf_dir), _builder(), strategy="vectorized")
+    return match_events(
+        _eventized(spark, sf_dir), _builder(),
+        strategy="vectorized", access_pruning=False,
+    )
 
 
 def _q_match_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,14 +53,49 @@ def _float_attributes(forest: CompiledForest) -> list[str]:
     return out
 
 
+#: auto-pruning threshold: mean reference-cost of the LAZY leaves at
+#: which the two extra packed sweeps + candidate scatter pay for
+#: themselves. Cheap lazies (cost ~1 int compares, the flagship
+#: workload) stay dense; wide list operands (ALL_OF over 40 elements =
+#: cost 80, the measured 6.6x pruning win) switch the two-phase path on.
+ACCESS_PRUNING_MIN_MEAN_COST = 8.0
+
+
+def _leaf_ref_cost(leaf) -> int:
+    """The reference's per-predicate cost model (src/predicates.rs:
+    144-165): variables / null checks / comparisons / equality are
+    constant, set membership costs len(list), list operators cost
+    2 * len(list). Used both here (auto strategy) and by the compiler's
+    cost-ordered children."""
+    op = leaf.op
+    if op in (Op.IN, Op.NOT_IN):
+        return max(len(leaf.operand), 1)
+    if op in (Op.ONE_OF, Op.NONE_OF, Op.ALL_OF, Op.NOT_ALL_OF):
+        return 2 * max(len(leaf.operand), 1)
+    return 1
+
+
+def choose_access_pruning(evaluator: BatchEvaluator) -> bool:
+    """Cost-model-driven default for the two-phase access split: prune
+    when the LAZY (deferred) leaves are expensive enough that skipping
+    them on non-candidate rows beats the extra upper-bound sweep +
+    downward candidate pass. Grouped leaves (inverted membership index,
+    grouped equality) already cost O(occurrences) and are never lazy."""
+    lazy = evaluator.lazy_leaf_idxs
+    if not lazy:
+        return False
+    costs = [_leaf_ref_cost(evaluator.forest.leaves[i]) for i in lazy]
+    return sum(costs) / len(costs) >= ACCESS_PRUNING_MIN_MEAN_COST
+
+
 def match_events(
     events: DataFrame,
     matcher: ForestBuilder | CompiledForest,
     event_id_col: str = "event_id",
-    strategy: str = "vectorized",
+    strategy: str = "auto",
     sub_id_type: str = "bigint",
     carry_cols: list[str] | None = None,
-    access_pruning: bool = False,
+    access_pruning: bool | None = None,
 ) -> DataFrame:
     """Match every event row against every subscription.
 
@@ -69,12 +104,23 @@ def match_events(
     through the match stage so downstream spatial aggregation needs no
     join back to the (expensive to recompute) event source.
 
-    ``access_pruning`` enables the reference's two-phase access-predicate
-    evaluation (src/atree.rs:530-591) in the vectorized strategy: lazy
-    (non-access) leaves evaluate only on the candidate rows their access
-    siblings admit. Semantics-invariant (hypothesis-pinned); pays off
-    when lazy predicates are expensive relative to the packed sweep —
-    long list operands, ALL_OF over wide lists, object decimals.
+    strategy="auto" (default) mirrors the reference's cost-driven access
+    selection (src/atree.rs:133-137,530-547) at plan level: always the
+    vectorized Arrow kernel — measured faster than the codegen plan even
+    at 27 subscriptions (BENCH_r02: 1.281s vs 1.785s; the Catalyst plan
+    re-evaluates every expression per row while the sweep amortizes
+    across the CSE DAG) — with two-phase access pruning switched on by
+    the compiled cost model (``choose_access_pruning``). "codegen"
+    remains callable for pure-JVM deployments that must avoid a Python
+    worker pool.
+
+    ``access_pruning`` (None = cost-model auto) enables the reference's
+    two-phase access-predicate evaluation (src/atree.rs:530-591) in the
+    vectorized strategy: lazy (non-access) leaves evaluate only on the
+    candidate rows their access siblings admit. Semantics-invariant
+    (hypothesis-pinned); pays off when lazy predicates are expensive
+    relative to the packed sweep — long list operands, ALL_OF over wide
+    lists, object decimals.
     """
     forest = matcher.compile() if isinstance(matcher, ForestBuilder) else matcher
     if strategy == "codegen":
@@ -90,7 +136,7 @@ def _match_vectorized(
     event_id_col: str,
     sub_id_type: str,
     carry_cols: list[str] | None = None,
-    access_pruning: bool = False,
+    access_pruning: bool | None = None,
 ) -> DataFrame:
     needed = _needed_attributes(forest)
     carry = carry_cols or []
@@ -112,7 +158,10 @@ def _match_vectorized(
                 name, (F.col(name) * (10**DECIMAL_SCALE)).cast("long")
             )
 
-    evaluator = BatchEvaluator(forest, access_pruning=access_pruning)
+    evaluator = BatchEvaluator(forest)
+    if access_pruning is None:
+        access_pruning = choose_access_pruning(evaluator)
+    evaluator.access_pruning = access_pruning
     bc = spark.sparkContext.broadcast(evaluator)
     id_field = projected.schema[event_id_col]
     carry_fields = [projected.schema[c] for c in carry]

@@ -236,6 +236,7 @@ def fused_match_pages(
     forest: ForestBuilder,
     level: int = DEFAULT_LEVEL,
     emit: str = "matches",
+    access_pruning: bool | None = None,
 ) -> DataFrame:
     """Single-Python-stage flagship kernel: extract + eventize + match
     in ONE mapInArrow pass.
@@ -272,6 +273,17 @@ def fused_match_pages(
 
     spark = pages.sparkSession
     evaluator = BatchEvaluator(forest.compile())
+    # same cost-model default as match_events: two-phase access pruning
+    # composes with the fused root-partials kernel (round 2 kept them
+    # exclusive, VERDICT.md item 7) — evaluate_prepared_roots dispatches
+    # on the flag either way
+    from ..engine.matcher import choose_access_pruning
+
+    evaluator.access_pruning = (
+        choose_access_pruning(evaluator)
+        if access_pruning is None
+        else access_pruning
+    )
     bc = spark.sparkContext.broadcast(evaluator)
 
     # (cell, sub) int64 packing contract for emit="cell_partials": the

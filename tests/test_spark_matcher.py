@@ -82,3 +82,28 @@ def test_vectorized_plan_prunes_columns(eventized, builder):
     df = match_events(eventized, builder, strategy="vectorized")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "MapInArrow" in plan
+
+
+def test_auto_strategy_cost_model():
+    """strategy auto: the compiled cost model turns two-phase pruning on
+    exactly when lazy leaves are expensive (reference economics,
+    src/predicates.rs:144-165 + atree.rs:530-547)."""
+    from a_tree_spark.engine.matcher import choose_access_pruning
+    from a_tree_spark.expr import AttributeDefinition as A, AttributeTable, ForestBuilder
+    from a_tree_spark.expr.vector import BatchEvaluator
+    from a_tree_spark.web.pipeline import build_page_forest
+
+    # flagship workload: lazy leaves are cheap scalar compares -> dense
+    assert not choose_access_pruning(
+        BatchEvaluator(build_page_forest(500).compile())
+    )
+
+    # selective workload with wide ALL_OF lazies -> two-phase pruning
+    attrs = AttributeTable([A.integer("k"), A.integer_list("xs")])
+    builder = ForestBuilder(attrs)
+    for i in range(20):
+        wide = sorted(range(i * 3, i * 3 + 40))
+        builder.insert(i, f"k = {i} and xs all of {wide}")
+    evaluator = BatchEvaluator(builder.compile())
+    assert evaluator.lazy_leaf_idxs  # ALL_OF leaves actually deferred
+    assert choose_access_pruning(evaluator)
