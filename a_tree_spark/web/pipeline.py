@@ -182,20 +182,31 @@ def root_subscription_map(spark, forest: ForestBuilder) -> DataFrame:
 
 
 def cell_stats_from_root_partials(
-    partials: DataFrame, root_map: DataFrame
+    partials: DataFrame, root_map: DataFrame, level: int = DEFAULT_LEVEL
 ) -> DataFrame:
-    """Per-cell statistics from in-kernel (cell, root, n) partials.
+    """Per-cell statistics from in-kernel packed (ckey, n) partials,
+    where ckey = (cell_key << sub_width) | root_id — the kernel's own
+    np.unique key, shipped as-is so the shuffle carries ONE int64 key
+    instead of two columns (at 1e5 subscriptions the partials stream is
+    ~17 rows/page and this shuffle is ~25% of flagship wall time).
 
     The kernel emits per DISTINCT expression root; each subscription has
     exactly ONE root, so subs(root) PARTITIONS the subscription ids and
     the expansion is pure multiplicity: per-cell match count =
     sum(n * n_subs), and the distinct-subscription count is EXACT —
     sum of n_subs over the distinct roots present in the cell — where
-    the sub-level path needed an HLL sketch. One keyed shuffle on
-    (cell_id, root_id), then a broadcast join with the root map and a
-    second (AQE-coalesced, already-combined) per-cell shuffle."""
-    per_root = partials.groupBy("cell_id", "root_id").agg(
-        F.sum("n_matches").alias("n")
+    the sub-level path needed an HLL sketch. One keyed shuffle on ckey
+    (map-side combined), a post-shuffle unpack projection, a broadcast
+    join with the root map, and a second (AQE-coalesced,
+    already-combined) per-cell shuffle."""
+    sub_width = 63 - (2 * level + 1)
+    sentinel = 1 << (2 * level)
+    per_key = partials.groupBy("ckey").agg(F.sum("n_matches").alias("n"))
+    cell = F.shiftright(F.col("ckey"), sub_width)
+    per_root = per_key.select(
+        F.when(cell == sentinel, F.lit(None)).otherwise(cell).alias("cell_id"),
+        F.col("ckey").bitwiseAND(F.lit((1 << sub_width) - 1)).alias("root_id"),
+        "n",
     )
     return (
         per_root.join(F.broadcast(root_map), "root_id")
@@ -454,20 +465,19 @@ def fused_match_pages(
                 # the (root_id, n_subs) map (root_subscription_map) —
                 # counts expand by pure multiplicity and distinct-sub
                 # counts become EXACT (each sub has exactly one root).
+                # The packed np.unique key ships AS-IS (one int64 column)
+                # — cell_stats_from_root_partials unpacks it after the
+                # keyed shuffle, so the hot shuffle is 2 longs wide.
                 sentinel = np.int64(1) << (2 * level)
                 cell_key = np.where(no_pos[rows], sentinel, cells[rows])
                 key = (cell_key << sub_width) | subs
                 uniq, counts = np.unique(key, return_counts=True)
-                u_cell = uniq >> sub_width
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(np.where(u_cell == sentinel, None, u_cell),
-                                 type=pa.int64()),
-                        pa.array(uniq & ((np.int64(1) << sub_width) - 1),
-                                 type=pa.int64()),
+                        pa.array(uniq, type=pa.int64()),
                         pa.array(counts.astype(np.int64), type=pa.int64()),
                     ],
-                    names=["cell_id", "root_id", "n_matches"],
+                    names=["ckey", "n_matches"],
                 )
                 continue
             if emit == "cell_partials":
@@ -513,9 +523,7 @@ def fused_match_pages(
     # inflation at 32 workers in a zero-steal window)
     pruned = pages.select("url", "html", "lang", "page_key")
     if emit == "cell_root_partials":
-        return pruned.mapInArrow(
-            run, schema="cell_id long, root_id long, n_matches long"
-        )
+        return pruned.mapInArrow(run, schema="ckey long, n_matches long")
     if emit == "cell_partials":
         return pruned.mapInArrow(
             run, schema="cell_id long, sub_id long, n_matches long"
