@@ -214,9 +214,43 @@ WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
 # ------------------------------------------------------- minhash + LSH
 
 
+# Carter-Wegman universal hashing for the per-seed permutations: ONE
+# md5 per shingle yields a 32-bit base integer H (8 hex nibbles), and
+# seed i's hash is (a_i * H + b_i) mod p — a classic 2-universal family
+# whose min over a set is a valid MinHash. 128 seeds thus cost 128
+# integer ops per shingle instead of 128 md5 calls (the md5-per-seed
+# form measured 12.5s at sf0.1; this form ~3s). All arithmetic stays
+# below 2^52 (a < 2^20, H < 2^32), exact in int64 in both engines.
+MINHASH_PRIME = 4294967291          # largest prime < 2^32
+
+
+def _mh_a(seed: int) -> int:
+    return (seed * 40503 + 17) % 1048573 + 1   # 1 .. 2^20
+
+
+def _mh_b(seed: int) -> int:
+    return (seed * 2654435761) % MINHASH_PRIME
+
+
+def _shingle_h_sql(instr_fn: str) -> str:
+    """32-bit integer from the first 8 hex nibbles of md5(shingle) —
+    rendered with the dialect's position function (Spark instr, DuckDB
+    strpos; same 1-based semantics)."""
+    terms = [
+        f"({instr_fn}('0123456789abcdef', substring(md5(shingle), {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"   # BIGINT: the sum tops 2^32
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mh_expr(seed: int) -> str:
+    return f"(h * {_mh_a(seed)} + {_mh_b(seed)}) % {MINHASH_PRIME}"
+
+
 def _minhash_agg_columns(n_seeds: int = MINHASH_SEEDS) -> list:
     return [
-        F.min(F.expr(f"md5(concat('{seed}|', shingle))")).alias(f"mh{seed}")
+        F.min(F.expr(_mh_expr(seed))).alias(f"mh{seed}")
         for seed in range(n_seeds)
     ]
 
@@ -228,29 +262,35 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs via banded MinHash, verified with exact Jaccard.
 
-    The signature min(md5(seed||shingle)) is a uniform MinHash over hex
-    strings and is engine-portable. Bands of n_seeds/n_bands signatures
-    hash to a bucket key; same-bucket pairs are candidates; the exact
-    integer Jaccard filter (same as ngram_jaccard_pairs) removes false
-    positives, so the output is deterministic (verify-after-LSH) and a
-    SUBSET of the exact-Jaccard pair set at any parameter choice.
+    The signature min((a_i * H(shingle) + b_i) mod p) is a 2-universal
+    MinHash over ONE md5-derived 32-bit base hash per shingle (see
+    MINHASH_PRIME) and is engine-portable integer arithmetic. Bands of
+    n_seeds/n_bands signatures hash to a bucket key; same-bucket pairs
+    are candidates; the exact integer Jaccard filter (same as
+    ngram_jaccard_pairs) removes false positives, so the output is
+    deterministic (verify-after-LSH) and a SUBSET of the exact-Jaccard
+    pair set at any parameter choice.
     """
     rare = _rare_shingles(corpus).cache()
-    signatures = rare.groupBy("doc_id").agg(*_minhash_agg_columns(n_seeds))
+    hashed = rare.withColumn("h", F.expr(_shingle_h_sql("instr")))
+    signatures = hashed.groupBy("doc_id").agg(*_minhash_agg_columns(n_seeds))
     per_band = n_seeds // n_bands
-    bands = []
+    # ONE projection + posexplode for all band keys: a per-band union
+    # would re-run the whole signature aggregation once per band (16x
+    # at the production band count — measured as most of the round-3
+    # minhash wall time before this change)
+    band_exprs = []
     for band in range(n_bands):
-        sig_cols = [f"mh{band * per_band + j}" for j in range(per_band)]
-        bands.append(
-            signatures.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.expr("md5(concat(" + ", '|', ".join(sig_cols) + "))").alias("bucket"),
-            )
-        )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+        sig_cols = [
+            f"CAST(mh{band * per_band + j} AS STRING)" for j in range(per_band)
+        ]
+        band_exprs.append("md5(concat(" + ", '|', ".join(sig_cols) + "))")
+    buckets = signatures.select(
+        "doc_id",
+        F.posexplode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias(
+            "band", "bucket"
+        ),
+    )
     left = buckets.withColumnRenamed("doc_id", "doc_a")
     right = buckets.withColumnRenamed("doc_id", "doc_b")
     candidates = (
@@ -291,13 +331,14 @@ def minhash_lsh_oracle(
     n_bands: int = LSH_BANDS,
 ) -> str:
     sig_select = ", ".join(
-        f"MIN(md5('{seed}|' || shingle)) AS mh{seed}"
-        for seed in range(n_seeds)
+        f"MIN({_mh_expr(seed)}) AS mh{seed}" for seed in range(n_seeds)
     )
     per_band = n_seeds // n_bands
     band_selects = []
     for band in range(n_bands):
-        sig_cols = [f"mh{band * per_band + j}" for j in range(per_band)]
+        sig_cols = [
+            f"CAST(mh{band * per_band + j} AS STRING)" for j in range(per_band)
+        ]
         joined = " || '|' || ".join(sig_cols)
         band_selects.append(
             f"SELECT doc_id, {band} AS band, md5({joined}) AS bucket FROM signatures"
@@ -309,7 +350,8 @@ def minhash_lsh_oracle(
     return f"""
 WITH corpus AS ({corpus_cte(table)}),
 {cte},
-signatures AS (SELECT doc_id, {sig_select} FROM rare GROUP BY doc_id),
+hashed AS (SELECT doc_id, {_shingle_h_sql('strpos')} AS h FROM rare),
+signatures AS (SELECT doc_id, {sig_select} FROM hashed GROUP BY doc_id),
 buckets AS ({buckets_union}),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
