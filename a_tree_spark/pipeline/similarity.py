@@ -212,7 +212,7 @@ def vectors_with_dups(embeddings: DataFrame) -> DataFrame:
 # (a pair colliding in ANY band is a candidate), exactly the banding
 # scheme the MinHash path uses (pipeline/dedup.py).
 NEARDUP_BANDS = 4
-NEARDUP_PLANES_PER_BAND = 8
+NEARDUP_PLANES_PER_BAND = 10
 
 
 def neardup_planes_per_band(n_rows: int, target_bucket_width: int = 1024) -> int:
