@@ -616,16 +616,20 @@ class BatchEvaluator:
                 ),
                 None,
             )
-            needs_flat = group is None or any(
+            # dictionary vids serve only STRING member groups; an int
+            # member group (or no group at all) reads the flat values,
+            # as do generic flat ops
+            use_vids = group is not None and (
+                pa.types.is_string(flat.type)
+                or pa.types.is_large_string(flat.type)
+            )
+            needs_flat = not use_vids or any(
                 forest.leaves[i].attr_index == attr_index
                 and forest.leaves[i].op in self._FLAT_OPS
                 for i in self.generic_leaves
             )
             vids = None
-            if group is not None and (
-                pa.types.is_string(flat.type)
-                or pa.types.is_large_string(flat.type)
-            ):
+            if use_vids:
                 encoded = pc.dictionary_encode(flat)
                 vids = group.map_unique(encoded.dictionary.to_pylist())[
                     encoded.indices.to_numpy(zero_copy_only=False).astype(

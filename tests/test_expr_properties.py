@@ -181,7 +181,25 @@ def test_vectorized_forest_equals_oracle(expressions, events):
     for row, sub in zip(p_rows.tolist(), p_subs.tolist()):
         pruned.setdefault(row, set()).add(sub)
 
+    # the Arrow fast path (mapInArrow matcher, round 3) must agree too,
+    # including nulls, empty lists, and object-decimal fallback
+    import pyarrow as pa
+
+    batch = pa.record_batch({
+        "x": pa.array([e["x"] for e in events], type=pa.int64()),
+        "xs": pa.array([e["xs"] for e in events], type=pa.list_(pa.int64())),
+        "s": pa.array([e["s"] for e in events], type=pa.string()),
+        "ss": pa.array([e["ss"] for e in events], type=pa.list_(pa.string())),
+        "b": pa.array([e["b"] for e in events], type=pa.bool_()),
+        "f": pa.array([e["f"] for e in events], type=pa.decimal128(12, 4)),
+    })
+    a_rows, a_subs = BatchEvaluator(forest).evaluate_arrow(batch)
+    arrow: dict[int, set] = {}
+    for row, sub in zip(a_rows.tolist(), a_subs.tolist()):
+        arrow.setdefault(row, set()).add(sub)
+
     for i, event in enumerate(events):
         expected = set(evaluate_event(forest, event))
         assert got.get(i, set()) == expected, (expressions, event)
         assert pruned.get(i, set()) == expected, (expressions, event)
+        assert arrow.get(i, set()) == expected, (expressions, event)
