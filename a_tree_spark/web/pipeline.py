@@ -350,6 +350,14 @@ def fused_match_pages(
 
     def run(batches):
         ev = bc.value
+        # task-level combine state for emit="cell_root_partials": keys
+        # repeat across the task's batches (hot cells x shared roots),
+        # so the final np.unique over the whole task emits each distinct
+        # (cell, root) ONCE per task instead of once per 4096-row batch
+        # — less Arrow boundary traffic and fewer shuffle rows for free.
+        # Memory is bounded: chunks hold (distinct keys per batch) longs.
+        task_keys: list = []
+        task_counts: list = []
 
         for batch in batches:
             n = batch.num_rows
@@ -472,13 +480,8 @@ def fused_match_pages(
                 cell_key = np.where(no_pos[rows], sentinel, cells[rows])
                 key = (cell_key << sub_width) | subs
                 uniq, counts = np.unique(key, return_counts=True)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(uniq, type=pa.int64()),
-                        pa.array(counts.astype(np.int64), type=pa.int64()),
-                    ],
-                    names=["ckey", "n_matches"],
-                )
+                task_keys.append(uniq)
+                task_counts.append(counts.astype(np.int64))
                 continue
             if emit == "cell_partials":
                 # in-kernel combine: one row per (cell, sub) per batch.
@@ -514,6 +517,20 @@ def fused_match_pages(
                     pa.array(subs, type=pa.int64()),
                 ],
                 names=["page_key", "cell_id", "sub_id"],
+            )
+
+        if task_keys:
+            all_keys = np.concatenate(task_keys)
+            all_counts = np.concatenate(task_counts)
+            uniq, inverse = np.unique(all_keys, return_inverse=True)
+            combined = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(combined, inverse, all_counts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uniq, type=pa.int64()),
+                    pa.array(combined, type=pa.int64()),
+                ],
+                names=["ckey", "n_matches"],
             )
 
     # Python-boundary column pruning: the kernel reads url/html/lang/
