@@ -266,15 +266,16 @@ class _MemberGroup:
 
 
 def adaptive_budget(num_nodes: int) -> int:
-    """Sweep-buffer budget sized to the forest: the packed sweep costs
-    O(num_nodes * chunk/8) bytes of traffic per chunk regardless of
-    chunk size, but per-chunk FIXED costs (root decode scan, per-leaf
-    numpy dispatch, python loop overhead) amortize with bigger chunks —
-    at 1e5 subscriptions (38.6k CSE nodes) the default 16 MB budget
-    yields ~3.5k-row chunks and measures ~6x more per-row cost than
-    ~14k-row chunks. num_nodes * 1792 bytes targets 14,336-row chunks
-    at any forest size; floor 16 MB keeps small forests on the tuned
-    round-1 setting, cap 96 MB bounds worker RSS (32 workers/box)."""
+    """Sweep-buffer budget sized to the forest. After the
+    level-contiguous layout + word-first decode, per-row sweep cost is
+    nearly FLAT in chunk size (measured 14.8-23.6 µs/row from 2k to 16k
+    rows at 1e5 subscriptions) — what still hurts is a budget-derived
+    chunk SMALLER than the Arrow batch: a 4096-row batch split as
+    3474 + 622 pays the per-chunk fixed costs twice, once on a tiny
+    tail. num_nodes * 1792 bytes keeps the chunk ceiling (14,336 rows)
+    above any realistic Arrow batch at every forest size; floor 16 MB
+    keeps small forests on the round-1-tuned setting, cap 96 MB bounds
+    worker RSS (32 workers/box)."""
     return max(16 << 20, min(96 << 20, num_nodes * 1792))
 
 
