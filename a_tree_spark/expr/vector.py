@@ -632,11 +632,18 @@ class BatchEvaluator:
             vids = None
             if use_vids:
                 encoded = pc.dictionary_encode(flat)
-                vids = group.map_unique(encoded.dictionary.to_pylist())[
-                    encoded.indices.to_numpy(zero_copy_only=False).astype(
-                        np.int64
-                    )
-                ]
+                dict_vals = encoded.dictionary.to_pylist()
+                # null elements inside the list produce null dictionary
+                # indices; route them to a trailing -1 sentinel slot so
+                # they fall out via the vids>=0 guard (matching the
+                # pandas path, which treats a null element as non-member)
+                lookup = np.append(group.map_unique(dict_vals), -1)
+                idx = (
+                    pc.fill_null(encoded.indices, len(dict_vals))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                vids = lookup[idx]
             flat_np = (
                 flat.to_numpy(zero_copy_only=False) if needs_flat else None
             )

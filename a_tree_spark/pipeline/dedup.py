@@ -219,17 +219,31 @@ WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
 # seed i's hash is (a_i * H + b_i) mod p — a classic 2-universal family
 # whose min over a set is a valid MinHash. 128 seeds thus cost 128
 # integer ops per shingle instead of 128 md5 calls (the md5-per-seed
-# form measured 12.5s at sf0.1; this form ~3s). All arithmetic stays
-# below 2^52 (a < 2^20, H < 2^32), exact in int64 in both engines.
+# form measured 12.5s at sf0.1; this form ~3s).
+#
+# a_i is drawn UNIFORMLY in [1, p-1] (splitmix64 of the seed reduced
+# mod p-1; ADVICE round 3 — a restricted [1, 2^20] range is not
+# 2-universal). Since a*H can then reach 2^64, the SQL computes the
+# product split (a = a_hi*2^20 + a_lo): every intermediate stays below
+# 2^53, exact in int64/BIGINT in both engines.
 MINHASH_PRIME = 4294967291          # largest prime < 2^32
+
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
 
 
 def _mh_a(seed: int) -> int:
-    return (seed * 40503 + 17) % 1048573 + 1   # 1 .. 2^20
+    return _splitmix64(seed) % (MINHASH_PRIME - 1) + 1   # uniform 1..p-1
 
 
 def _mh_b(seed: int) -> int:
-    return (seed * 2654435761) % MINHASH_PRIME
+    return _splitmix64(seed ^ 0x5DEECE66D) % MINHASH_PRIME
 
 
 def _shingle_h_sql(instr_fn: str) -> str:
@@ -245,7 +259,15 @@ def _shingle_h_sql(instr_fn: str) -> str:
 
 
 def _mh_expr(seed: int) -> str:
-    return f"(h * {_mh_a(seed)} + {_mh_b(seed)}) % {MINHASH_PRIME}"
+    # split multiply: a*h mod p with a in [1, p-1] and h < 2^32, all
+    # intermediates < 2^53 (h is BIGINT in both engines, so the mixed
+    # literal*column products promote to BIGINT — no 2^31 ANSI trap)
+    a, b, p = _mh_a(seed), _mh_b(seed), MINHASH_PRIME
+    a_hi, a_lo = a >> 20, a & 0xFFFFF
+    return (
+        f"(((({a_hi} * (h % {p})) % {p}) * 1048576"
+        f" + {a_lo} * (h % {p}) + {b}) % {p})"
+    )
 
 
 def _minhash_agg_columns(n_seeds: int = MINHASH_SEEDS) -> list:

@@ -568,8 +568,10 @@ def run_pipeline(
     if strategy == "fused":
         keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
         partials = fused_match_pages(keyed, forest, level, emit="cell_root_partials")
+        # level MUST be forwarded: the unpack widths are level-derived
+        # and a mismatch silently corrupts every cell id (ADVICE r3)
         return cell_stats_from_root_partials(
-            partials, root_subscription_map(spark, forest)
+            partials, root_subscription_map(spark, forest), level=level
         )
     eventized = eventize_pages(pages, level)
     matches = match_pages(eventized, forest, strategy=strategy)

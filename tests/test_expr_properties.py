@@ -103,11 +103,18 @@ def test_negation_is_involutive_and_complementary(leaf, raw):
 
 # ---- forest agreement: vectorized == oracle --------------------------
 
+def _dedup_sort(v):
+    # lists may contain null ELEMENTS (ADVICE round 3: the Arrow path
+    # crashed on nulls inside string lists with member groups); sort
+    # with a None-last key since None isn't comparable
+    return sorted(set(v), key=lambda x: (x is None, x))
+
+
 event_strategy = st.fixed_dictionaries({
     "x": st.one_of(st.none(), ints),
-    "xs": st.one_of(st.none(), st.lists(ints, max_size=6).map(lambda v: sorted(set(v)))),
+    "xs": st.one_of(st.none(), st.lists(st.one_of(st.none(), ints), max_size=6).map(_dedup_sort)),
     "s": st.one_of(st.none(), strs),
-    "ss": st.one_of(st.none(), st.lists(strs, max_size=5).map(lambda v: sorted(set(v)))),
+    "ss": st.one_of(st.none(), st.lists(st.one_of(st.none(), strs), max_size=5).map(_dedup_sort)),
     "b": st.one_of(st.none(), st.booleans()),
     "f": st.one_of(st.none(), st.decimals(min_value=-20, max_value=20, places=4)),
 })

@@ -230,13 +230,16 @@ def test_evaluate_arrow_matches_pandas_and_skips_object_lists(monkeypatch):
     ev = BatchEvaluator(builder.compile())
 
     batch = pa.record_batch({
-        "tags": pa.array([["a", "c"], None, [], ["b"], ["a"]],
+        # row 5 plants a null ELEMENT inside a member-grouped string
+        # list (ADVICE round 3: dictionary_encode emits null indices →
+        # INT64_MIN after astype → IndexError in the vocab lookup)
+        "tags": pa.array([["a", "c"], None, [], ["b"], ["a"], [None, "b"]],
                          type=pa.list_(pa.string())),
-        "x": pa.array([5, None, 2, 10, 4], type=pa.int64()),
-        "s": pa.array(["q", None, "r", "q", "z"]),
-        "nums": pa.array([[1, 2], [1], [2, 1, 1], None, []],
+        "x": pa.array([5, None, 2, 10, 4, 7], type=pa.int64()),
+        "s": pa.array(["q", None, "r", "q", "z", "q"]),
+        "nums": pa.array([[1, 2], [1], [2, 1, 1], None, [], [None, 1]],
                          type=pa.list_(pa.int64())),
-        "flag": pa.array([True, True, None, True, False]),
+        "flag": pa.array([True, True, None, True, False, True]),
     })
     pdf = batch.to_pandas()
     want = sorted(zip(*map(np.ndarray.tolist, ev.evaluate(pdf))))

@@ -283,3 +283,22 @@ def test_cell_skew_exists(spark):
     top = [r["count"] for r in counts.limit(5).collect()]
     total = eventized.count()
     assert top[0] > total * 0.02  # hottest cell is meaningfully hot
+
+
+def test_run_pipeline_forwards_level_to_unpack(spark):
+    """ADVICE round 3: run_pipeline passed level to the fused kernel
+    (which packs ckey with a level-derived sub_width) but not to
+    cell_stats_from_root_partials — any non-default level silently
+    unpacked corrupt cell ids. Fused and vectorized strategies must
+    agree at a NON-default level."""
+    from a_tree_spark.web.pipeline import run_pipeline
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    level = 9
+    fused = run_pipeline(spark, N_PAGES, N_SUBS, level=level,
+                         strategy="fused", pages=pages)
+    vect = run_pipeline(spark, N_PAGES, N_SUBS, level=level,
+                        strategy="vectorized", pages=pages)
+    a = sorted(map(tuple, fused.select("cell_id", "n_matches").collect()))
+    b = sorted(map(tuple, vect.select("cell_id", "n_matches").collect()))
+    assert a == b and len(a) > 0
