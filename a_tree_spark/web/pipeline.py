@@ -307,7 +307,7 @@ def fused_match_pages(
         # both bounds: a single negative sub id among positive ones would
         # pass a max-only check and still corrupt the packed key
         # (sign bits bleed into the cell field) — ADVICE.md round 2
-        sub_keys = forest._expressions.keys()
+        sub_keys = forest.sub_ids()
         max_sub = max(sub_keys, default=0)
         min_sub = min(sub_keys, default=0)
         if not (0 <= int(min_sub) and int(max_sub) < (1 << sub_width)):
