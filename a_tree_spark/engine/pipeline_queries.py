@@ -31,7 +31,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(dedup.corpus_with_dups(_documents(spark, sf_dir)))
+    # n_bands derived from the verify threshold via the S-curve knob
+    # (minhash_bands) rather than a hardcoded constant
+    return dedup.minhash_lsh_pairs(
+        dedup.corpus_with_dups(_documents(spark, sf_dir)),
+        n_bands=dedup.minhash_bands(),
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,16 +48,22 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_topk(_embeddings(spark, sf_dir))
+    # planes_per_band=None -> derived from the runtime corpus size via
+    # lsh_planes (the size-aware knob IS the production path; the static
+    # oracle below pins the same derivation at the driver-gate row count)
+    return similarity.lsh_topk(_embeddings(spark, sf_dir), planes_per_band=None)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(_embeddings(spark, sf_dir))
+    # n_centroids=None -> k ~ sqrt(n) with the 64 floor (ivf_centroids)
+    return similarity.ivf_topk(_embeddings(spark, sf_dir), n_centroids=None)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = similarity.vectors_with_dups(_embeddings(spark, sf_dir))
     return similarity.embedding_near_dup_pairs(
-        similarity.vectors_with_dups(_embeddings(spark, sf_dir))
+        vectors,
+        planes_per_band=similarity.neardup_planes_per_band(vectors.count()),
     )
 
 
@@ -85,16 +96,27 @@ PIPELINE_QUERIES = {
     "media_frame_sample": q_frame_sample,
 }
 
+# The driver's correctness gate always runs at sf0.01, whose driver
+# tables have a FIXED size (TESTDATA.md: 500 embeddings / 500 documents;
+# vectors_with_dups adds one planted copy per vec_id%50 -> 510). The
+# oracle strings are static, so each size-aware parameter is derived
+# HERE from those known counts with the SAME functions the queries()
+# callables apply to their runtime .count() — tests pin the two agree.
+GATE_EMBEDDINGS_ROWS = 500
+GATE_NEARDUP_ROWS = 510
+
 PIPELINE_ORACLES = {
     "text_features": text_features_oracle_sql(),
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
-    "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+    "dedup_minhash_lsh": dedup.minhash_lsh_oracle(n_bands=dedup.minhash_bands()),
     "dedup_simhash": dedup.simhash_oracle_sql(),
     "ann_brute_force": similarity.brute_force_oracle(),
-    "ann_lsh": similarity.lsh_topk_oracle(),
-    "ann_ivf": similarity.ivf_topk_oracle(),
-    "embedding_near_dup": similarity.embedding_near_dup_oracle(),
+    "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
+    "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
+    "embedding_near_dup": similarity.embedding_near_dup_oracle(
+        planes_per_band=similarity.neardup_planes_per_band(GATE_NEARDUP_ROWS)
+    ),
     "media_metadata": multimodal.media_metadata_oracle(),
     "media_features": multimodal.media_features_oracle(),
     "media_frame_sample": multimodal.sample_frames_oracle(),
