@@ -137,12 +137,24 @@ def _shingles_df(corpus: DataFrame) -> DataFrame:
 
 def _rare_shingles(corpus: DataFrame) -> DataFrame:
     """Shingle the corpus and drop stop-shingles (document frequency
-    cap) — the skew guard."""
+    cap) — the skew guard.
+
+    The filter is an anti-join against the HOT set (DF > cap) rather
+    than an inner join with the rare set: the hot side is orders of
+    magnitude smaller (Zipf head), so AQE turns it into a broadcast
+    anti-join at bench scale (zero shuffle of the shingle table) and
+    falls back to a shuffled anti-join if the hot set ever outgrows the
+    broadcast threshold — no hint, the runtime size decides. The DF
+    count itself is a map-side-combined groupBy, safe under any key
+    skew (a window count would pin each hot shingle to one task)."""
     shingles = _shingles_df(corpus)
-    df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
-    return shingles.join(
-        df_counts.where(F.col("_df") <= MAX_SHINGLE_DF), "shingle"
-    ).select("doc_id", "shingle")
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    return shingles.join(hot, "shingle", "left_anti").select("doc_id", "shingle")
 
 
 _RARE_SHINGLES_CTE = """
@@ -292,10 +304,29 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs) removes false positives, so the output is
     deterministic (verify-after-LSH) and a SUBSET of the exact-Jaccard
     pair set at any parameter choice.
+
+    One aggregation pass does triple duty: the doc_id groupBy computes
+    the n_seeds signature mins AND collects the doc's (distinct) rare
+    shingles as an array AND its size — so the verify stage never joins
+    the exploded shingle table again. Candidate pairs pick up the two
+    shingle arrays by doc_id (plain joins; AQE broadcasts the small
+    side at bench scale, keyed shuffles at 1e12 docs) and the exact
+    intersection is ``size(array_intersect(...))`` computed JVM-side
+    per pair. Measured at sf0.1: the old double shingle-join verify was
+    ~2s of a 4.7s wall for 2.3k candidates; this form's verify is
+    milliseconds.
     """
-    rare = _rare_shingles(corpus).cache()
+    rare = _rare_shingles(corpus)
     hashed = rare.withColumn("h", F.expr(_shingle_h_sql("instr")))
-    signatures = hashed.groupBy("doc_id").agg(*_minhash_agg_columns(n_seeds))
+    signatures = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *_minhash_agg_columns(n_seeds),
+            F.collect_list("shingle").alias("_shs"),
+            F.count("*").alias("_n_sh"),
+        )
+        .cache()
+    )
     per_band = n_seeds // n_bands
     # ONE projection + posexplode for all band keys: a per-band union
     # would re-run the whole signature aggregation once per band (16x
@@ -322,24 +353,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pair_shingles = (
-        candidates.join(rare.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("shingle", "sh_a")
-        .join(
-            rare.withColumnRenamed("doc_id", "doc_b")
-            .withColumnRenamed("shingle", "sh_b"),
-            "doc_b",
-        )
-        .where(F.col("sh_a") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    docs_a = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_shs").alias("_shs_a"),
+        F.col("_n_sh").alias("n_a"),
+    )
+    docs_b = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_shs").alias("_shs_b"),
+        F.col("_n_sh").alias("n_b"),
     )
     sized = (
-        pair_shingles.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                           .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        docs_a.join(candidates, "doc_a")
+        .join(docs_b, "doc_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(_shs_a, _shs_b))"))
     )
     return sized.where(
         F.col("n_inter") * JACCARD_DEN

@@ -167,22 +167,13 @@ def lsh_topk(
     is never shuffled."""
     if planes_per_band is None:
         planes_per_band = lsh_planes(embeddings.count())
-    entries = ", ".join(
-        f"named_struct('band', {b}, "
-        f"'bucket', {_band_bucket_spark('__e__', b, planes_per_band)})"
-        for b in range(n_bands)
+    buckets_e = band_buckets_arrow(
+        embeddings, "vec_id", "embedding", n_bands, planes_per_band
     )
-    buckets_e = embeddings.select(
-        "vec_id",
-        F.explode(
-            F.expr(f"array({entries})".replace("__e__", "embedding"))
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     queries = _queries(embeddings)
-    buckets_q = queries.select(
-        "query_id",
-        F.explode(F.expr(f"array({entries})".replace("__e__", "q"))).alias("bb"),
-    ).select("query_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets_q = band_buckets_arrow(
+        queries, "query_id", "q", n_bands, planes_per_band
+    )
     cand_ids = (
         buckets_e.join(F.broadcast(buckets_q), ["band", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -303,12 +294,73 @@ def neardup_planes_per_band(n_rows: int, target_bucket_width: int = 1024) -> int
     )
 
 
-def _band_bucket_spark(emb: str, band: int, planes_per_band: int) -> str:
-    terms = [
-        f"{_plane_sign_spark(emb, band * planes_per_band + p)} * {1 << p}"
-        for p in range(planes_per_band)
-    ]
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+def band_buckets_arrow(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """(id, band, bucket) rows for every band, computed in ONE mapInArrow
+    pass instead of n_bands * planes_per_band HOF aggregates.
+
+    Two reasons this beats the SQL projection even though both are one
+    scan: (1) each sign is a 64-term fold evaluated through Catalyst's
+    interpreted HOF path — 40 planes x 64 dims per row; numpy does the
+    same multiply-adds vectorized across the batch; (2) the literal
+    weight arrays made a ~2,500-node expression tree whose OPTIMIZATION
+    cost ~0.8s of driver time per query (measured sf0.1) — the Arrow
+    plan is a dozen nodes. Bit-exactness with the DuckDB oracle: the
+    SQL sign folds left-assoc in dimension order in float64
+    (``_plane_sign_sql``), so accumulating ``acc += X[:, d] * W[:, d]``
+    dimension-ascending in float64 performs the identical IEEE adds —
+    the same order-preservation argument as ``_numpy_dist2`` (IVF)."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes_total = n_bands * planes_per_band
+    W = np.array(
+        [
+            [_plane_weight(p, d) for d in range(EMBED_DIM)]
+            for p in range(planes_total)
+        ],
+        dtype=np.float64,
+    )
+    pow2 = (1 << np.arange(planes_per_band, dtype=np.int64))
+    bands = np.arange(n_bands, dtype=np.int32)
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, EMBED_DIM)
+            )
+            acc = np.zeros((n, planes_total), dtype=np.float64)
+            for d in range(EMBED_DIM):
+                acc += X[:, d, None] * W[None, :, d]
+            bits = acc >= 0.0
+            buckets = (
+                (bits.reshape(n, n_bands, planes_per_band) * pow2).sum(axis=2)
+            ).astype(np.int64)
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+                    pa.array(np.tile(bands, n), type=pa.int32()),
+                    pa.array(buckets.reshape(-1), type=pa.int64()),
+                ],
+                names=[id_col, "band", "bucket"],
+            )
+
+    return df.select(
+        F.col(id_col), F.col(emb_col).alias("_emb")
+    ).mapInArrow(gen, schema=f"{id_col} long, band int, bucket long")
 
 
 def _band_bucket_sql(emb: str, band: int, planes_per_band: int, one_based: bool) -> str:
@@ -338,17 +390,8 @@ def embedding_near_dup_pairs(
 
     Cosine compare is float-exact in both engines: dot^2 >= t^2 *
     (|a|^2 |b|^2) with doubles evaluated in identical IEEE order."""
-    entries = ", ".join(
-        f"named_struct('band', {b}, "
-        f"'bucket', {_band_bucket_spark('embedding', b, planes_per_band)})"
-        for b in range(n_bands)
-    )
-    buckets = embeddings.select(
-        "vec_id", F.explode(F.expr(f"array({entries})")).alias("bb")
-    ).select(
-        "vec_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    buckets = band_buckets_arrow(
+        embeddings, "vec_id", "embedding", n_bands, planes_per_band
     )
     candidates = (
         buckets.withColumnRenamed("vec_id", "id_a")
