@@ -164,3 +164,159 @@ def test_streaming_dedup_drops_in_horizon_copies(spark, tmp_path):
     distinct_hashes = {h for (h,) in out}
     assert len(out) == n_docs              # one survivor per distinct text
     assert len(distinct_hashes) == n_docs  # no duplicate made it through
+
+
+def test_dedup_stream_crash_recovery_restores_state(spark, tmp_path):
+    """VERDICT round 3 item 5: kill a checkpointed streaming query
+    mid-flight and prove checkpoint resume yields exact results.
+
+    The crash is real — the foreachBatch sink raises on the second
+    micro-batch, terminating the query with an exception after batch 0
+    committed its offsets and state. The restart resumes from the same
+    checkpoint. The sharp assertion is STATE recovery: a copy planted
+    in a post-crash file duplicates a document processed BEFORE the
+    crash, so it is dropped only if the restarted query restored the
+    dropDuplicatesWithinWatermark state store — a fresh query would
+    let it through. The per-batch overwrite sink is idempotent, so the
+    replayed batch cannot double-count (the contract foreachBatch
+    requires of its sink)."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.streaming import dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(120)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        )
+        .cache()
+    )
+    src_dir = str(tmp_path / "crash_src")
+    # five single-file micro-batches; the last re-ingests copies of
+    # file-0 documents (same text => same content hash, later ts)
+    parts = [
+        docs.where("doc_id % 4 = 0"),
+        docs.where("doc_id % 4 = 1"),
+        docs.where("doc_id % 4 = 2"),
+        docs.where("doc_id % 4 = 3"),
+        docs.where("doc_id % 4 = 0")
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")),
+    ]
+    for part in parts:
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+
+    out_dir = tmp_path / "crash_out"
+
+    def make_sink(poison: bool):
+        def sink(df, batch_id):
+            if poison and batch_id >= 1:
+                raise RuntimeError("injected crash")
+            df.write.mode("overwrite").parquet(str(out_dir / f"b{batch_id}"))
+        return sink
+
+    def start(poison: bool):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            dedup_stream(stream, watermark="10 minutes")
+            .writeStream.foreachBatch(make_sink(poison))
+            .option("checkpointLocation", str(tmp_path / "crash_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    crashed = start(poison=True)
+    with pytest.raises(Exception):
+        crashed.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    assert crashed.exception() is not None  # died mid-stream, not finished
+
+    resumed = start(poison=False)
+    resumed.awaitTermination(120)
+    assert resumed.exception() is None
+
+    got = sorted(
+        (r["content_hash"], r["doc_id"])
+        for r in spark.read.parquet(str(out_dir / "b*")).collect()
+    )
+    # exactness vs batch: one survivor per distinct text, and every
+    # survivor is the ORIGINAL doc_id (< 500000) — the post-crash
+    # copies matched state written before the crash
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    assert len({h for h, _ in got}) == n_docs
+    assert all(d < 500000 for _, d in got)
+
+
+def test_match_stream_file_sink_interrupt_resume_exactly_once(spark, tmp_path):
+    """Interrupt a checkpointed match stream writing to the built-in
+    parquet file sink, resume from the checkpoint, and require the
+    final sink contents to equal the batch matcher EXACTLY (no lost and
+    no duplicated matches). The file sink's _spark_metadata manifest is
+    what makes re-attempted batches invisible — spark.read consults it,
+    so this pins the end-to-end exactly-once contract the north-star
+    deployment relies on."""
+    import time as _time
+
+    from a_tree_spark.engine.eventize import (
+        EVENT_ATTRIBUTES,
+        STANDING_SUBSCRIPTIONS,
+        eventize_events,
+    )
+    from a_tree_spark.engine.matcher import match_events
+    from a_tree_spark.expr import ForestBuilder
+
+    eventized = eventize_events(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    src_dir = str(tmp_path / "ms_src")
+    eventized.repartition(8).write.parquet(src_dir)
+
+    builder = ForestBuilder(EVENT_ATTRIBUTES)
+    for sub_id, expression in STANDING_SUBSCRIPTIONS.items():
+        builder.insert(sub_id, expression)
+
+    sink_dir = str(tmp_path / "ms_sink")
+    ckpt = str(tmp_path / "ms_ckpt")
+
+    def start(available_now: bool):
+        stream = (
+            spark.readStream.schema(eventized.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        matches = match_events(stream, builder).select("event_id", "sub_id")
+        writer = matches.writeStream.format("parquet").option(
+            "path", sink_dir
+        ).option("checkpointLocation", ckpt)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # phase 1: continuous trigger; stop as soon as the first
+    # micro-batch lands (7 of 8 source files still unprocessed)
+    q1 = start(available_now=False)
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        _time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # phase 2: resume from the checkpoint, drain the rest
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    got = sorted(map(tuple, spark.read.parquet(sink_dir).collect()))
+    want = sorted(
+        map(tuple, match_events(eventized, builder)
+            .select("event_id", "sub_id").collect())
+    )
+    assert got == want and len(want) > 0
