@@ -294,6 +294,32 @@ def neardup_planes_per_band(n_rows: int, target_bucket_width: int = 1024) -> int
     )
 
 
+def _band_bucket_matrix(X, n_bands: int, planes_per_band: int):
+    """(n, n_bands) int64 bucket keys for a float64 (n, EMBED_DIM)
+    matrix — the pure-numpy core of ``band_buckets_arrow``, factored
+    out so the IEEE-order-equality property (numpy per-dimension
+    accumulation == the SQL left fold) is directly testable against a
+    pure-Python fold without a SparkSession."""
+    import numpy as np
+
+    planes_total = n_bands * planes_per_band
+    W = np.array(
+        [
+            [_plane_weight(p, d) for d in range(EMBED_DIM)]
+            for p in range(planes_total)
+        ],
+        dtype=np.float64,
+    )
+    pow2 = 1 << np.arange(planes_per_band, dtype=np.int64)
+    acc = np.zeros((X.shape[0], planes_total), dtype=np.float64)
+    for d in range(EMBED_DIM):
+        acc += X[:, d, None] * W[None, :, d]
+    bits = acc >= 0.0
+    return (
+        (bits.reshape(X.shape[0], n_bands, planes_per_band) * pow2).sum(axis=2)
+    ).astype(np.int64)
+
+
 def band_buckets_arrow(
     df: DataFrame,
     id_col: str,
@@ -318,15 +344,6 @@ def band_buckets_arrow(
     import numpy as np
     import pyarrow as pa
 
-    planes_total = n_bands * planes_per_band
-    W = np.array(
-        [
-            [_plane_weight(p, d) for d in range(EMBED_DIM)]
-            for p in range(planes_total)
-        ],
-        dtype=np.float64,
-    )
-    pow2 = (1 << np.arange(planes_per_band, dtype=np.int64))
     bands = np.arange(n_bands, dtype=np.int32)
 
     def gen(batches):
@@ -341,13 +358,7 @@ def band_buckets_arrow(
                 .astype(np.float64)
                 .reshape(n, EMBED_DIM)
             )
-            acc = np.zeros((n, planes_total), dtype=np.float64)
-            for d in range(EMBED_DIM):
-                acc += X[:, d, None] * W[None, :, d]
-            bits = acc >= 0.0
-            buckets = (
-                (bits.reshape(n, n_bands, planes_per_band) * pow2).sum(axis=2)
-            ).astype(np.int64)
+            buckets = _band_bucket_matrix(X, n_bands, planes_per_band)
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [

@@ -338,3 +338,61 @@ def test_ivf_arrow_assignment_plan_has_no_embedding_exchange(spark):
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
     rows = df.collect()
     assert len(rows) == 100  # 20 queries x top-5
+
+
+# ---- IEEE-order equality properties for the Arrow kernels ----------
+#
+# The oracle-parity argument for band_buckets_arrow and the IVF Arrow
+# assignment is "numpy per-dimension float64 accumulation performs the
+# SQL left fold's adds in the identical IEEE order". These hypothesis
+# properties pin that claim directly against a pure-Python fold (Python
+# floats ARE IEEE doubles, and the explicit loop IS the SQL evaluation
+# order) over adversarial float32 inputs — including subnormals, huge
+# magnitudes, and sign-boundary dots — without needing a SparkSession.
+
+from hypothesis import given, settings, strategies as st
+
+_f32 = st.floats(allow_nan=False, allow_infinity=False, width=32)
+_embedding = st.lists(_f32, min_size=64, max_size=64)
+
+
+@settings(max_examples=150, deadline=None)
+@given(emb=_embedding, n_bands=st.integers(1, 4), planes=st.integers(3, 12))
+def test_band_bucket_matrix_matches_sql_fold_order(emb, n_bands, planes):
+    import numpy as np
+    from a_tree_spark.pipeline import similarity as S
+
+    X = np.array([emb], dtype=np.float32).astype(np.float64)
+    got = S._band_bucket_matrix(X, n_bands, planes)[0]
+
+    for band in range(n_bands):
+        want = 0
+        for p in range(planes):
+            plane = band * planes + p
+            acc = 0.0  # the SQL left fold, term by term
+            for d in range(64):
+                acc = acc + float(X[0, d]) * float(S._plane_weight(plane, d))
+            want += (1 << p) if acc >= 0 else 0
+        assert got[band] == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    emb=_embedding,
+    cents=st.lists(_embedding, min_size=1, max_size=5),
+)
+def test_numpy_dist2_matches_sql_fold_order(emb, cents):
+    import numpy as np
+    from a_tree_spark.pipeline import similarity as S
+
+    X = np.array([emb], dtype=np.float32).astype(np.float64)
+    C = np.array(cents, dtype=np.float32).astype(np.float64)
+    got = S._numpy_dist2(X, C)[0]
+
+    for j in range(C.shape[0]):
+        acc = 0.0  # _dist2_sql: left-assoc sum of squared diffs
+        for d in range(64):
+            diff = float(X[0, d]) - float(C[j, d])
+            acc = acc + diff * diff
+        # bitwise equality, not approx: the whole point is order
+        assert got[j] == acc or (got[j] != got[j] and acc != acc)
