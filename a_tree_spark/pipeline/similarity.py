@@ -552,10 +552,112 @@ def _numpy_dist2(X, C):
     return acc
 
 
+def train_ivf_codebook(
+    embeddings: DataFrame,
+    n_centroids: int | None = None,
+    n_iters: int = 5,
+    emb_col: str = "embedding",
+):
+    """Lloyd's k-means over the embedding table, Spark-native — the
+    trained codebook the deterministic-subset quantizer stands in for
+    (the subset stays the ORACLE path: k-means means are float sums
+    whose cross-task order Spark doesn't fix, so a trained codebook is
+    run-to-run approximate and can't be DuckDB-pinned; training is the
+    classic non-SQL-expressible iterative algorithm).
+
+    Returns (C float64 (k, dim), inertia_per_iter list).
+
+    Scale shape (1e12 rows): each iteration is ONE mapInArrow pass over
+    the table emitting per-BATCH partials — for every centroid touched
+    by the batch, (cid, count, per-dim sums, sse) exploded to (cid,
+    dim) rows — followed by a map-side-combined groupBy(cid, dim) sum
+    whose output is exactly k*dim rows collected to the driver. No
+    iteration shuffles the embedding table; state per task is k*dim
+    float64 (a few MB at k=1000). Empty clusters keep their previous
+    centroid (standard Lloyd fallback)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_rows = embeddings.count()
+    if n_centroids is None:
+        n_centroids = ivf_centroids(n_rows)
+    stride, offset = ivf_centroid_params(n_rows, n_centroids)
+    init_rows = sorted(
+        embeddings.where(F.expr(_centroid_filter(stride, offset)))
+        .select("vec_id", emb_col)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    C = np.array([r[emb_col] for r in init_rows], dtype=np.float64)
+    k, dim = C.shape
+    inertia = []
+
+    src = embeddings.select(F.col(emb_col).alias("_emb"))
+    for _ in range(n_iters):
+        C_bc = C  # captured by value in the closure below
+
+        def partials(batches, C_bc=C_bc):
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                X = (
+                    batch.column(0)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(n, dim)
+                )
+                d2 = _numpy_dist2(X, C_bc)
+                best = np.argmin(d2, axis=1)
+                sse = d2[np.arange(n), best]
+                cids, inv = np.unique(best, return_inverse=True)
+                counts = np.bincount(inv)
+                sums = np.zeros((len(cids), dim), dtype=np.float64)
+                np.add.at(sums, inv, X)
+                sse_per = np.zeros(len(cids), dtype=np.float64)
+                np.add.at(sse_per, inv, sse)
+                m = len(cids)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.repeat(cids.astype(np.int64), dim)),
+                        pa.array(np.tile(np.arange(dim, dtype=np.int64), m)),
+                        pa.array(sums.reshape(-1)),
+                        pa.array(np.repeat(counts.astype(np.int64), dim)),
+                        pa.array(np.repeat(sse_per, dim)),
+                    ],
+                    names=["cid", "dim", "s", "n", "sse"],
+                )
+
+        agg = (
+            src.mapInArrow(
+                partials, schema="cid long, dim long, s double, n long, sse double"
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("n").alias("n"),
+                F.sum("sse").alias("sse"),
+            )
+            .collect()
+        )
+        new_C = C.copy()  # empty clusters keep their centroid
+        total_sse = 0.0
+        for r in agg:
+            cid, d = int(r["cid"]), int(r["dim"])
+            new_C[cid, d] = r["s"] / r["n"]
+            if d == 0:
+                total_sse += r["sse"]
+        inertia.append(total_sse)
+        C = new_C
+    return C, inertia
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = DEFAULT_K,
     n_centroids: int | None = None,
+    codebook=None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
     (inverted lists), probe the N_PROBE nearest lists per query, exact
@@ -573,22 +675,33 @@ def ivf_topk(
     table (round 2 rode every vector through a Window.partitionBy
     exchange). Probes come from the same codebook driver-side; the only
     pre-rerank data movement is broadcasting N_QUERIES * N_PROBE probe
-    rows into the assigned scan."""
+    rows into the assigned scan.
+
+    ``codebook`` (a float64 (k, dim) numpy matrix, e.g. from
+    ``train_ivf_codebook``) replaces the deterministic-subset quantizer
+    entirely; centroid ids become 0..k-1 and the assignment always
+    takes the Arrow path. The oracle gate never passes one (trained
+    means are not cross-engine reproducible — see train_ivf_codebook)."""
     import numpy as np
 
-    n_rows = embeddings.count()
-    if n_centroids is None:
-        n_centroids = ivf_centroids(n_rows)
-    stride, offset = ivf_centroid_params(n_rows, n_centroids)
-    cent_rows = sorted(
-        embeddings.where(F.expr(_centroid_filter(stride, offset)))
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cids, C = _centroid_matrix(cent_rows)
+    if codebook is not None:
+        cids = np.arange(codebook.shape[0], dtype=np.int64)
+        C = np.asarray(codebook, dtype=np.float64)
+        cent_rows = None
+    else:
+        n_rows = embeddings.count()
+        if n_centroids is None:
+            n_centroids = ivf_centroids(n_rows)
+        stride, offset = ivf_centroid_params(n_rows, n_centroids)
+        cent_rows = sorted(
+            embeddings.where(F.expr(_centroid_filter(stride, offset)))
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+        cids, C = _centroid_matrix(cent_rows)
 
-    if len(cent_rows) <= IVF_INLINE_MAX:
+    if cent_rows is not None and len(cent_rows) <= IVF_INLINE_MAX:
         structs = ", ".join(
             f"named_struct('d2', "
             f"{_dist2_spark('__emb__', _float_array_literal(r['embedding']))}, "

@@ -396,3 +396,30 @@ def test_numpy_dist2_matches_sql_fold_order(emb, cents):
             acc = acc + diff * diff
         # bitwise equality, not approx: the whole point is order
         assert got[j] == acc or (got[j] != got[j] and acc != acc)
+
+
+def test_train_ivf_codebook_converges_and_plugs_in(spark):
+    """Spark-native Lloyd's k-means (train_ivf_codebook): inertia must
+    decrease monotonically from the deterministic-subset init, end well
+    below it, and the trained codebook must drop into ivf_topk's Arrow
+    assignment path (codebook=...). Training is the documented
+    non-oracle path — cross-task float sums aren't order-fixed — so the
+    pin is convergence + integration, not value equality."""
+    import numpy as np
+    from a_tree_spark.pipeline import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    C, inertia = S.train_ivf_codebook(emb, n_centroids=16, n_iters=4)
+    # the stride filter approximates k (500 rows, stride 31 -> 17 ids)
+    assert C.shape[1] == S.EMBED_DIM and 16 <= C.shape[0] <= 20
+    assert all(
+        inertia[i + 1] <= inertia[i] * 1.000001 for i in range(len(inertia) - 1)
+    ), inertia
+    # measured 0.59 on this fixture; 0.8 leaves headroom without
+    # letting a broken update (inertia flat) slip through
+    assert inertia[-1] <= 0.8 * inertia[0]
+
+    out = S.ivf_topk(emb, codebook=C)
+    rows = out.collect()
+    assert len(rows) == 100  # 20 queries x top-5 through the Arrow path
+    assert {r["query_id"] for r in rows} == set(range(20))
