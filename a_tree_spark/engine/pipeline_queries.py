@@ -59,6 +59,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_embeddings(spark, sf_dir), n_centroids=None)
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-means-trained codebook (Lloyd's, Spark-native) through the same
+    # Arrow assignment path. Deliberately NO oracle_sql entry: training
+    # is the documented non-SQL-expressible iterative algorithm (the
+    # driver records the weaker rows-only check); convergence and
+    # integration are pinned in pytest instead.
+    emb = _embeddings(spark, sf_dir)
+    codebook, _ = similarity.train_ivf_codebook(emb, n_iters=3)
+    return similarity.ivf_topk(emb, codebook=codebook)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = similarity.vectors_with_dups(_embeddings(spark, sf_dir))
     return similarity.embedding_near_dup_pairs(
@@ -90,6 +101,7 @@ PIPELINE_QUERIES = {
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_trained": q_ann_ivf_trained,   # rows-only: iterative, non-SQL
     "embedding_near_dup": q_embedding_near_dup,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
