@@ -77,7 +77,7 @@ class _ListColumn:
     Arrow-native kernels dictionary-encode so only unique strings cross
     into Python."""
 
-    __slots__ = ("mask", "lengths", "row_ids", "flat", "n", "vids")
+    __slots__ = ("mask", "lengths", "row_ids", "flat", "n", "vids", "_offsets")
 
     def __init__(self, series: pd.Series):
         n = len(series)
@@ -102,6 +102,7 @@ class _ListColumn:
         else:
             self.flat = np.empty(0, dtype=np.int64)
         self.vids = None
+        self._offsets = None
 
     @classmethod
     def from_parts(
@@ -117,7 +118,20 @@ class _ListColumn:
         col.row_ids = np.repeat(np.arange(col.n, dtype=np.int64), lengths)
         col.flat = flat
         col.vids = vids
+        col._offsets = None
         return col
+
+    @property
+    def offsets(self) -> np.ndarray:
+        """Flat-start offset per row (len n+1), computed once per batch.
+        Access pruning subsets the SAME column once per lazy leaf —
+        recomputing this O(n) cumsum per subset was 15% of the pruned
+        evaluator's wall at 3k lazy leaves (profiled round 4)."""
+        if self._offsets is None:
+            self._offsets = np.concatenate(
+                ([0], np.cumsum(self.lengths))
+            )
+        return self._offsets
 
 
 def scalar_column(mask: np.ndarray, values=None, str_series=None) -> _ScalarColumn:
@@ -792,7 +806,7 @@ class BatchEvaluator:
                 if col.str_series is None
                 else col.str_series.iloc[idx].reset_index(drop=True),
             )
-        offsets = np.concatenate([[0], np.cumsum(col.lengths)])
+        offsets = col.offsets
         lengths = col.lengths[idx]
         total = int(lengths.sum())
         if total:
@@ -1040,6 +1054,35 @@ class BatchEvaluator:
 
     # --------------------------------------- two-phase access pruning
 
+    def _parent_csr(self):
+        """child slot -> parent slots CSR (P_ids, P_off, counts), built
+        once per evaluator: the downward candidate pass pulls each
+        node's parents instead of scattering to children (see
+        _evaluate_two_phase). Total size = 2 x interior nodes."""
+        cached = getattr(self, "_parent_csr_cache", None)
+        if cached is not None:
+            return cached
+        nn = max(self.forest.num_nodes, 1)
+        children, parents = [], []
+        for _, lo, hi, left, right in self.levels:
+            ps = np.arange(lo, hi, dtype=np.int64)
+            children.append(left)
+            parents.append(ps)
+            children.append(right)
+            parents.append(ps)
+        if children:
+            ch = np.concatenate(children)
+            pa = np.concatenate(parents)
+            order = np.argsort(ch, kind="stable")
+            p_ids = pa[order]
+            counts = np.bincount(ch, minlength=nn)
+        else:
+            p_ids = np.empty(0, dtype=np.int64)
+            counts = np.zeros(nn, dtype=np.int64)
+        p_off = np.concatenate(([0], np.cumsum(counts)))
+        self._parent_csr_cache = (p_ids, p_off, counts)
+        return self._parent_csr_cache
+
     def _pruning_buffers(self, nb: int):
         cached = getattr(self, "_prune_buf_cache", None)
         if cached is None:
@@ -1083,20 +1126,37 @@ class BatchEvaluator:
         leaf_bits = self._pack_padded(leaf_values, nb)
         self._sweep(values, gather_a, gather_b, leaf_bits)  # upper bound
 
-        # downward candidate pass (levels descend by height, so every
-        # node's cand is final before it scatters to its children; root
-        # seeds are in place before any parent contribution is read).
+        # downward candidate pass as a parent PULL over a precomputed
+        # child->parents CSR: each block (descending by height, leaves
+        # last) takes its parents' (cand & ub) rows — parents are final
+        # because their blocks came earlier — and OR-combines them per
+        # node with one vectorized reduceat. The round-3 form scattered
+        # parent contributions to children with np.bitwise_or.at, whose
+        # unbuffered element loop was the largest single line of the
+        # pruned evaluator after the offsets cache (profiled round 4).
         # Root seeding reads contiguous root segments (slot layout).
         cand[:] = 0
         for lo, k in self.root_segments:
             cand[lo : lo + k] = values[lo : lo + k]
-        for kind, lo, hi, left, right in reversed(self.levels):
-            k = hi - lo
-            contrib = gather_a[:k]
-            np.bitwise_and(cand[lo:hi], values[lo:hi], out=contrib)
-            # children repeat across parents (CSE) -> unbuffered |=
-            np.bitwise_or.at(cand, left, contrib)
-            np.bitwise_or.at(cand, right, contrib)
+        P_ids, P_off, P_counts = self._parent_csr()
+        blocks = [(lo, hi) for _, lo, hi, _, _ in reversed(self.levels)]
+        blocks.append((0, self.n_leaf_nodes))
+        for lo, hi in blocks:
+            s, e = int(P_off[lo]), int(P_off[hi])
+            if e == s:
+                continue
+            ids = P_ids[s:e]
+            contrib = cand[ids]  # fancy-index copy — safe to reuse below
+            np.bitwise_and(contrib, values[ids], out=contrib)
+            starts = P_off[lo:hi] - s
+            # clamp: an empty trailing segment's start == e-s, which
+            # reduceat rejects; empty segments produce a garbage single
+            # element either way and are zeroed by the counts mask
+            pulled = np.bitwise_or.reduceat(
+                contrib, np.minimum(starts, e - s - 1), axis=0
+            )
+            pulled[P_counts[lo:hi] == 0] = 0
+            np.bitwise_or(cand[lo:hi], pulled, out=cand[lo:hi])
 
         leaf_cand[:] = 0
         np.bitwise_or.at(
