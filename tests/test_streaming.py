@@ -320,3 +320,151 @@ def test_match_stream_file_sink_interrupt_resume_exactly_once(spark, tmp_path):
             .select("event_id", "sub_id").collect())
     )
     assert got == want and len(want) > 0
+
+
+def _neardup_batch_reference(rows, max_hamming=3, horizon_ms=None):
+    """Sequential reference for neardup_dedup_stream's contract: process
+    (doc_id, ts_ms, simhash) in (ts, doc_id) order; a doc survives iff
+    no band bucket holds an in-horizon fingerprint within max_hamming;
+    fingerprints are recorded regardless (chaining semantics)."""
+    from a_tree_spark.streaming.neardup_stream import BAND_BITS, SIMHASH_BANDS
+
+    buckets: dict = {}
+    survivors = []
+    for doc_id, ts_ms, sim in sorted(rows, key=lambda r: (r[1], r[0])):
+        hit = False
+        keys = [
+            (b, (sim >> (b * BAND_BITS)) & 0xFFFF)
+            for b in range(SIMHASH_BANDS)
+        ]
+        for key in keys:
+            for s, t in buckets.get(key, []):
+                if horizon_ms is not None and t < ts_ms - horizon_ms:
+                    continue
+                if bin((s ^ sim) & ((1 << 64) - 1)).count("1") <= max_hamming:
+                    hit = True
+        for key in keys:
+            buckets.setdefault(key, []).append((sim, ts_ms))
+        if not hit:
+            survivors.append(doc_id)
+    return sorted(survivors)
+
+
+def test_neardup_stream_drops_planted_near_dups(spark, tmp_path):
+    """Streaming banded-SimHash near-dup: planted near-copies (one token
+    edited — small hamming distance, NOT exact duplicates) must be
+    dropped; unrelated docs must survive. The surviving set is checked
+    EXACTLY against the sequential reference implementation, across a
+    two-file stream (state carries between micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.pipeline.dedup import simhash_oracle
+    from a_tree_spark.streaming import neardup_dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(80)
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        )
+    )
+    # near-copies of doc_id%4==0: replace the first token (hamming-near,
+    # md5-exact-dedup would NOT catch these); arrive in the second file
+    near = (
+        docs.where("doc_id % 4 = 0")
+        .withColumn("doc_id", F.col("doc_id") + 700000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("zzz "), F.expr("substring(text, instr(text, ' ') + 1)")),
+        )
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS"))
+    )
+    src_dir = str(tmp_path / "nd_src")
+    docs.coalesce(1).write.mode("append").parquet(src_dir)
+    near.coalesce(1).write.mode("append").parquet(src_dir)
+
+    got: list = []
+    query = neardup_dedup_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        sink=lambda df, _id: got.extend(r["doc_id"] for r in df.collect()),
+        watermark="30 minutes",
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+    )
+    query.awaitTermination(180)
+    assert query.exception() is None
+
+    all_rows = [
+        (r["doc_id"], int(r["ts"].timestamp() * 1000), simhash_oracle(r["text"]))
+        for r in docs.unionByName(near).collect()
+    ]
+    want = _neardup_batch_reference(all_rows)
+    assert sorted(got) == want
+    # the contract did real work: the synthetic corpus contains natural
+    # near-dups among the originals (templated text), and every planted
+    # near-copy whose edit stayed within the hamming budget must be
+    # dropped — verify against per-pair hamming, not just membership
+    dropped = {r[0] for r in all_rows} - set(want)
+    assert dropped, "near-duplicates must be dropped"
+    sims = {r[0]: r[2] for r in all_rows}
+    qualifying = [
+        d for d in sims if d >= 700000
+        and bin((sims[d] ^ sims[d - 700000]) & ((1 << 64) - 1)).count("1") <= 3
+    ]
+    assert qualifying, "fixture must plant at least one in-budget near-copy"
+    assert all(d in dropped for d in qualifying)
+
+
+def test_neardup_stream_horizon_expiry_bounds_state(spark, tmp_path):
+    """A near-copy arriving AFTER the watermark horizon must pass (the
+    documented late-arrival bound that keeps state finite): same text
+    family, second file 3 hours later with a 10-minute horizon."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.streaming import neardup_dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(20)
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        )
+    )
+    # the watermark is computed from PRIOR batches (standard Spark
+    # semantics — expiry lags one micro-batch), so a clock-advancing
+    # middle file moves the watermark past the originals before the
+    # late copy arrives
+    clock_tick = (
+        docs.where("doc_id = 1")
+        .withColumn("doc_id", F.lit(800000).cast("long"))
+        .withColumn("text", F.lit("unrelated clock advance payload zq"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    late_copy = (
+        docs.where("doc_id = 0")
+        .withColumn("doc_id", F.lit(900000).cast("long"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+    )
+    src_dir = str(tmp_path / "ndh_src")
+    docs.coalesce(1).write.mode("append").parquet(src_dir)
+    clock_tick.coalesce(1).write.mode("append").parquet(src_dir)
+    late_copy.coalesce(1).write.mode("append").parquet(src_dir)
+
+    got: list = []
+    query = neardup_dedup_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        sink=lambda df, _id: got.extend(r["doc_id"] for r in df.collect()),
+        watermark="10 minutes",
+        checkpoint_dir=str(tmp_path / "ndh_ckpt"),
+    )
+    query.awaitTermination(180)
+    assert query.exception() is None
+    # the 3-hours-later exact copy is OUTSIDE the horizon: it survives
+    # even though its original (doc 0) also survived — the fingerprint
+    # expired with the watermark, which is what bounds the state
+    assert 900000 in got and 0 in got and 800000 in got
