@@ -468,3 +468,85 @@ def test_neardup_stream_horizon_expiry_bounds_state(spark, tmp_path):
     # even though its original (doc 0) also survived — the fingerprint
     # expired with the watermark, which is what bounds the state
     assert 900000 in got and 0 in got and 800000 in got
+
+
+def test_neardup_stream_crash_recovery_restores_custom_state(spark, tmp_path):
+    """Crash/recovery for the CUSTOM stateful operator: the injected
+    failure kills the query after batch 0 committed its
+    applyInPandasWithState state; after restart from the checkpoint, a
+    near-copy (in a post-crash file) of a pre-crash document must still
+    be dropped — provable only if the manually-managed fingerprint
+    state was recovered, and the full survivor set must equal the
+    sequential reference exactly."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.pipeline.dedup import simhash_oracle
+    from a_tree_spark.streaming import neardup_dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(60)
+        .select(
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+        )
+    )
+    near = (
+        docs.where("doc_id % 3 = 0")
+        .withColumn("doc_id", F.col("doc_id") + 700000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("zzz "), F.expr("substring(text, instr(text, ' ') + 1)")),
+        )
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES"))
+    )
+    # files are ts-monotone (ts tracks doc_id): arrival order == event
+    # order, the ordering the sequential reference assumes
+    src_dir = str(tmp_path / "ndc_src")
+    docs.where("doc_id < 40").coalesce(1).write.mode("append").parquet(src_dir)
+    docs.where("doc_id >= 40").coalesce(1).write.mode("append").parquet(src_dir)
+    near.coalesce(1).write.mode("append").parquet(src_dir)
+
+    got: dict = {}
+
+    def make_sink(poison: bool):
+        def sink(df, batch_id):
+            if poison and batch_id >= 1:
+                raise RuntimeError("injected crash")
+            got[batch_id] = [r["doc_id"] for r in df.collect()]
+        return sink
+
+    def start(poison: bool):
+        return neardup_dedup_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir),
+            sink=make_sink(poison),
+            watermark="30 minutes",
+            checkpoint_dir=str(tmp_path / "ndc_ckpt"),
+        )
+
+    crashed = start(poison=True)
+    with pytest.raises(Exception):
+        crashed.awaitTermination(180)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    assert crashed.exception() is not None
+
+    resumed = start(poison=False)
+    resumed.awaitTermination(180)
+    assert resumed.exception() is None
+
+    all_rows = [
+        (r["doc_id"], int(r["ts"].timestamp() * 1000), simhash_oracle(r["text"]))
+        for r in docs.unionByName(near).collect()
+    ]
+    survivors = sorted(d for ids in got.values() for d in ids)
+    assert survivors == _neardup_batch_reference(all_rows)
+    # at least one qualifying near-copy duplicates a PRE-crash doc
+    # (doc_id % 3 == 0 was in file 0) and was dropped post-restart
+    sims = {r[0]: r[2] for r in all_rows}
+    qualifying = [
+        d for d in sims if d >= 700000
+        and bin((sims[d] ^ sims[d - 700000]) & ((1 << 64) - 1)).count("1") <= 3
+    ]
+    assert qualifying and all(d not in survivors for d in qualifying)
