@@ -447,6 +447,10 @@ class BatchEvaluator:
         self.leaf_of_node = np.array(
             [forest.node_left[i] for i in leaf_nodes], dtype=np.int64
         )
+        # interning guarantees one node per distinct leaf predicate;
+        # the pruning pass relies on this to scatter leaf candidates
+        # with plain indexed assignment (checked once at plan time)
+        assert len(np.unique(self.leaf_of_node)) == len(self.leaf_of_node)
 
     def _plan_subscribers(self) -> None:
         """CSR of DISTINCT expression roots -> subscriber ids. CSE means
@@ -1158,10 +1162,11 @@ class BatchEvaluator:
             pulled[P_counts[lo:hi] == 0] = 0
             np.bitwise_or(cand[lo:hi], pulled, out=cand[lo:hi])
 
+        # leaves are interned (one node per distinct predicate), so
+        # leaf_of_node is injective and plain indexed assignment
+        # replaces the unbuffered bitwise_or.at scatter
         leaf_cand[:] = 0
-        np.bitwise_or.at(
-            leaf_cand, self.leaf_of_node, cand[: self.n_leaf_nodes]
-        )
+        leaf_cand[self.leaf_of_node] = cand[: self.n_leaf_nodes]
 
         # phase 2: lazy leaves on candidate rows only
         for leaf_idx in self.lazy_leaf_idxs:

@@ -550,3 +550,23 @@ def test_neardup_stream_crash_recovery_restores_custom_state(spark, tmp_path):
         and bin((sims[d] ^ sims[d - 700000]) & ((1 << 64) - 1)).count("1") <= 3
     ]
     assert qualifying and all(d not in survivors for d in qualifying)
+
+
+def test_batch_simhash_equals_oracle_per_row():
+    """The vectorized streaming fingerprint (unique-word md5 + cumsum
+    segment votes) must equal dedup.simhash_oracle exactly, including
+    empty docs, single-word docs, and fully-unique vocabularies."""
+    import random
+
+    from a_tree_spark.pipeline.dedup import simhash_oracle
+    from a_tree_spark.streaming.neardup_stream import batch_simhash
+
+    random.seed(11)
+    shared = [
+        " ".join(f"tok{random.randint(0, 300)}" for _ in range(50))
+        for _ in range(300)
+    ]
+    unique = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(100)]
+    edge = ["", "single", "a b c", "  ", "dup dup dup"]
+    for texts in (shared, unique, edge, []):
+        assert batch_simhash(texts) == [simhash_oracle(t) for t in texts]
