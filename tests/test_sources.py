@@ -43,3 +43,49 @@ def test_read_table_parquet_branch_uses_sf_dir_path():
     out = read_table(fake_spark, SF_DIR, "lineitem")
     assert out.sentinel == "parquet-df"
     assert spy.calls == [("parquet", f"{SF_DIR}/lineitem.parquet")]
+
+
+def test_bucketed_cell_join_is_exchange_free(spark, tmp_path):
+    """write_bucketed + same-key/same-count join: the executed plan must
+    contain NO Exchange on either side (the shuffle was amortized into
+    the write), and the result must equal the plain shuffled join. This
+    is the 100 TB shape for the repeated cell_id joins of the spatial
+    pipeline — the write pays the shuffle once."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.engine.bucketing import is_exchange_free_join, write_bucketed
+    from tests.conftest import SF_DIR
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", (F.col("event_id") % 97).alias("cell_id"), "value")
+    )
+    cells = (
+        events.groupBy("cell_id").agg(F.count("*").alias("n_hist"))
+    )
+
+    spark.sql("DROP TABLE IF EXISTS b_events")
+    spark.sql("DROP TABLE IF EXISTS b_cells")
+    write_bucketed(events, "b_events", 8, ["cell_id"], sort_cols=["cell_id"],
+                   path=str(tmp_path / "b_events"))
+    write_bucketed(cells, "b_cells", 8, ["cell_id"], sort_cols=["cell_id"],
+                   path=str(tmp_path / "b_cells"))
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_events").join(spark.table("b_cells"), "cell_id")
+        assert is_exchange_free_join(joined)
+        got = sorted(map(tuple, joined.select("event_id", "n_hist").collect()))
+        plain = sorted(map(tuple, events.join(cells, "cell_id")
+                           .select("event_id", "n_hist").collect()))
+        assert got == plain and len(got) > 0
+        # control: joining the bucketed table against an UNBUCKETED side
+        # does shuffle (proves the assertion above is not vacuous)
+        assert not is_exchange_free_join(
+            spark.table("b_events").join(cells, "cell_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_cells")
