@@ -688,17 +688,32 @@ def ivf_topk(
         cids = np.arange(codebook.shape[0], dtype=np.int64)
         C = np.asarray(codebook, dtype=np.float64)
         cent_rows = None
+        q_rows = sorted(
+            embeddings.where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
     else:
         n_rows = embeddings.count()
         if n_centroids is None:
             n_centroids = ivf_centroids(n_rows)
         stride, offset = ivf_centroid_params(n_rows, n_centroids)
-        cent_rows = sorted(
-            embeddings.where(F.expr(_centroid_filter(stride, offset)))
+        # centroid subset AND the query rows in ONE collect (one scan,
+        # one driver round-trip instead of two sequential jobs)
+        both = sorted(
+            embeddings.where(
+                F.expr(_centroid_filter(stride, offset))
+                | (F.col("vec_id") < N_QUERIES)
+            )
             .select("vec_id", "embedding")
             .collect(),
             key=lambda r: r["vec_id"],
         )
+        cent_rows = [
+            r for r in both if r["vec_id"] % stride == offset
+        ]
+        q_rows = [r for r in both if r["vec_id"] < N_QUERIES]
         cids, C = _centroid_matrix(cent_rows)
 
     if cent_rows is not None and len(cent_rows) <= IVF_INLINE_MAX:
@@ -744,12 +759,6 @@ def ivf_topk(
 
     # probes: nearest N_PROBE centroids per query, computed driver-side
     # in the same exact arithmetic (ORDER BY d2, cid tie-break)
-    q_rows = sorted(
-        embeddings.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     d2q = _numpy_dist2(Q, C)
     probe_pairs = [
