@@ -159,12 +159,12 @@ def lsh_topk(
     ``planes_per_band=None`` derives from the corpus row count
     (``lsh_planes``) — the production entry point always takes this
     path, so bucket granularity grows with the table. Plan shape at
-    scale: one scan projects every band's bucket key (posexplode of a
-    literal band array), the broadcast query buckets join against it
-    (no shuffle of the table), DISTINCT (query, vec) collapses
-    multi-band collisions, and the small candidate id set broadcasts
-    back into a second scan for the exact rerank — the embedding table
-    is never shuffled."""
+    scale: ONE mapInArrow pass over the scan emits every band's bucket
+    key (``band_buckets_arrow`` — bit-identical to the oracle's SQL
+    signs), the broadcast query buckets join against it (no shuffle of
+    the table), DISTINCT (query, vec) collapses multi-band collisions,
+    and the small candidate id set broadcasts back into a second scan
+    for the exact rerank — the embedding table is never shuffled."""
     if planes_per_band is None:
         planes_per_band = lsh_planes(embeddings.count())
     buckets_e = band_buckets_arrow(
