@@ -279,6 +279,43 @@ class _MemberGroup:
         return hit
 
 
+def _pull_block(
+    cand: np.ndarray,
+    values: np.ndarray,
+    P_ids: np.ndarray,
+    P_off: np.ndarray,
+    P_counts: np.ndarray,
+    lo: int,
+    hi: int,
+) -> None:
+    """OR each node's parents' (cand & ub) rows into ``cand[lo:hi]`` —
+    one vectorized reduceat over the block's slice of the
+    child->parents CSR.
+
+    One zero row is appended to the contribution matrix so an empty
+    TRAILING segment's start (== e-s) indexes the pad instead of being
+    clamped into the preceding segment — the round-4 clamp
+    ``np.minimum(starts, e-s-1)`` silently truncated the preceding
+    node's LAST parent contribution whenever the block ended with a
+    parentless node (safe then only via an undocumented slot-ordering
+    invariant; ADVICE round 4, pinned by
+    tests/test_expr_vector.py::test_pull_block_trailing_empty_segment).
+    A non-empty final segment ORs the pad in (identity), and empty
+    MIDDLE segments (start[i] == start[i+1]) yield one garbage element
+    that the counts mask zeroes."""
+    s, e = int(P_off[lo]), int(P_off[hi])
+    if e == s:
+        return
+    ids = P_ids[s:e]
+    contrib = np.empty((e - s + 1, cand.shape[1]), dtype=np.uint8)
+    np.bitwise_and(cand[ids], values[ids], out=contrib[:-1])
+    contrib[-1] = 0
+    starts = P_off[lo:hi] - s
+    pulled = np.bitwise_or.reduceat(contrib, starts, axis=0)
+    pulled[P_counts[lo:hi] == 0] = 0
+    np.bitwise_or(cand[lo:hi], pulled, out=cand[lo:hi])
+
+
 def adaptive_budget(num_nodes: int) -> int:
     """Sweep-buffer budget sized to the forest. After the
     level-contiguous layout + word-first decode, per-row sweep cost is
@@ -449,8 +486,13 @@ class BatchEvaluator:
         )
         # interning guarantees one node per distinct leaf predicate;
         # the pruning pass relies on this to scatter leaf candidates
-        # with plain indexed assignment (checked once at plan time)
-        assert len(np.unique(self.leaf_of_node)) == len(self.leaf_of_node)
+        # with plain indexed assignment (checked once at plan time —
+        # an explicit raise, not `assert`, so it survives python -O)
+        if len(np.unique(self.leaf_of_node)) != len(self.leaf_of_node):
+            raise AssertionError(
+                "leaf_of_node is not injective: leaf interning invariant "
+                "violated; pruned scatter would drop candidates"
+            )
 
     def _plan_subscribers(self) -> None:
         """CSR of DISTINCT expression roots -> subscriber ids. CSE means
@@ -1146,21 +1188,7 @@ class BatchEvaluator:
         blocks = [(lo, hi) for _, lo, hi, _, _ in reversed(self.levels)]
         blocks.append((0, self.n_leaf_nodes))
         for lo, hi in blocks:
-            s, e = int(P_off[lo]), int(P_off[hi])
-            if e == s:
-                continue
-            ids = P_ids[s:e]
-            contrib = cand[ids]  # fancy-index copy — safe to reuse below
-            np.bitwise_and(contrib, values[ids], out=contrib)
-            starts = P_off[lo:hi] - s
-            # clamp: an empty trailing segment's start == e-s, which
-            # reduceat rejects; empty segments produce a garbage single
-            # element either way and are zeroed by the counts mask
-            pulled = np.bitwise_or.reduceat(
-                contrib, np.minimum(starts, e - s - 1), axis=0
-            )
-            pulled[P_counts[lo:hi] == 0] = 0
-            np.bitwise_or(cand[lo:hi], pulled, out=cand[lo:hi])
+            _pull_block(cand, values, P_ids, P_off, P_counts, lo, hi)
 
         # leaves are interned (one node per distinct predicate), so
         # leaf_of_node is injective and plain indexed assignment

@@ -140,8 +140,20 @@ def neardup_dedup_stream(
     fingerprint within ``max_hamming``; at the default B-1 the banding
     is exactly the pigeonhole bound, so the drop set equals "hamming
     <= max_hamming to something seen in-horizon" with no approximation.
+
+    Timezone safety: Arrow hands the state function tz-NAIVE pandas
+    timestamps rendered in ``spark.sql.session.timeZone``, while
+    ``getCurrentWatermarkMs`` is epoch ms — so the horizon comparison
+    localizes each timestamp to the captured session timezone before
+    taking ``.timestamp()`` (a naive ``.timestamp()`` silently assumes
+    UTC and skews the purge horizon by the session's UTC offset).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    session_tz = (
+        documents.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
 
     sim = simhash_stream(documents).select(
         "doc_id", F.col(ts_col).alias("ts"), "simhash"
@@ -200,7 +212,8 @@ def neardup_dedup_stream(
                 for s in sims
             )
             sims.append(int(sim_v))
-            tss.append(int(ts.timestamp() * 1000))
+            ts_aware = ts if ts.tzinfo else ts.tz_localize(session_tz)
+            tss.append(int(ts_aware.timestamp() * 1000))
             out_doc.append(int(doc_id))
             out_ts.append(ts)
             out_sim.append(int(sim_v))

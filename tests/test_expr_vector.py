@@ -252,3 +252,30 @@ def test_evaluate_arrow_matches_pandas_and_skips_object_lists(monkeypatch):
     )
     got = sorted(zip(*map(np.ndarray.tolist, ev.evaluate_arrow(batch))))
     assert got == want and len(got) > 0
+
+
+def test_pull_block_trailing_empty_segment():
+    """A block ending in a PARENTLESS node must not truncate the
+    preceding node's parent list (ADVICE round 4: the old clamp
+    np.minimum(starts, e-s-1) dropped that node's last parent
+    contribution — a 2-parent node pulled only 1)."""
+    from a_tree_spark.expr.vector import _pull_block
+
+    nb = 1  # one packed byte per node
+    # nodes 0..2 are the block; nodes 3..4 are (already-final) parents.
+    # The bug needs the MULTI-parent node immediately before the empty
+    # trailing segment: node0 <- {3}; node1 <- {3, 4}; node2 <- none.
+    # Old clamp: starts [0,1,3] -> [0,1,2], so node1 reduced over [1,2)
+    # — parent 4's contribution dropped.
+    P_ids = np.array([3, 3, 4], dtype=np.int64)
+    P_off = np.array([0, 1, 3, 3, 3, 3], dtype=np.int64)
+    P_counts = np.diff(P_off)
+    values = np.zeros((5, nb), dtype=np.uint8)
+    cand = np.zeros((5, nb), dtype=np.uint8)
+    # parent 3 contributes bit 0 on rows 0b0001; parent 4 bit 1
+    cand[3] = values[3] = 0b0001
+    cand[4] = values[4] = 0b0010
+    _pull_block(cand, values, P_ids, P_off, P_counts, 0, 3)
+    assert cand[0, 0] == 0b0001
+    assert cand[1, 0] == 0b0011  # BOTH parents (old clamp gave 0b0001)
+    assert cand[2, 0] == 0  # parentless: counts mask zeroes the pad
