@@ -89,14 +89,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # k-means-trained codebook (Lloyd's, Spark-native) through the same
-    # Arrow assignment path. Deliberately NO oracle_sql entry: training
-    # is the documented non-SQL-expressible iterative algorithm (the
-    # driver records the weaker rows-only check); convergence and
-    # integration are pinned in pytest instead.
-    emb = _embeddings(spark, sf_dir)
-    codebook, _ = similarity.train_ivf_codebook(emb, n_iters=3)
-    return similarity.ivf_topk(emb, codebook=codebook)
+    # Trained-IVF SERVING: the k-means codebook was trained ONCE
+    # (Lloyd's, Spark-native — scripts/freeze_ivf_codebook.py) and
+    # frozen as exact float64 literals, the way production persists a
+    # model instead of re-training per query (VERDICT round 4 item 1).
+    # Serving (Arrow argmin assignment -> probe -> exact rerank) is
+    # deterministic given the fixed codebook, so this row now has a
+    # full DuckDB hash oracle (ivf_served_oracle); training itself
+    # stays pinned by pytest (monotone inertia, codebook plug-in).
+    import numpy as np
+
+    from ..pipeline.ivf_frozen import FROZEN_CODEBOOK
+
+    return similarity.ivf_topk(
+        _embeddings(spark, sf_dir),
+        codebook=np.array(FROZEN_CODEBOOK, dtype=np.float64),
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +143,7 @@ PIPELINE_QUERIES = {
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "ann_ivf_trained": q_ann_ivf_trained,   # rows-only: iterative, non-SQL
+    "ann_ivf_trained": q_ann_ivf_trained,   # frozen-codebook serving (oracle'd)
     "embedding_near_dup": q_embedding_near_dup,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
@@ -151,6 +159,12 @@ PIPELINE_QUERIES = {
 GATE_EMBEDDINGS_ROWS = 500
 GATE_NEARDUP_ROWS = 510
 
+
+def _ann_ivf_trained_oracle() -> str:
+    from ..pipeline.ivf_frozen import FROZEN_CODEBOOK
+
+    return similarity.ivf_served_oracle(FROZEN_CODEBOOK)
+
 PIPELINE_ORACLES = {
     "text_features": text_features_oracle_sql(),
     "dedup_exact": dedup.exact_duplicates_oracle(),
@@ -160,6 +174,7 @@ PIPELINE_ORACLES = {
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
     "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
+    "ann_ivf_trained": _ann_ivf_trained_oracle(),
     "embedding_near_dup": similarity.embedding_near_dup_oracle(
         planes_per_band=similarity.neardup_planes_per_band(GATE_NEARDUP_ROWS)
     ),

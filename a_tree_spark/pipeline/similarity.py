@@ -829,13 +829,45 @@ def ivf_topk_oracle(
     if n_centroids is None:
         n_centroids = ivf_centroids(n_rows)
     stride, offset = ivf_centroid_params(n_rows, n_centroids)
+    cents = (
+        f"SELECT vec_id AS cid, embedding FROM {table}\n"
+        f"    WHERE {_centroid_filter(stride, offset)}"
+    )
+    return _ivf_oracle_body(cents, k, table)
+
+
+def ivf_served_oracle(
+    codebook,
+    k: int = DEFAULT_K,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for IVF *serving* against a FIXED (e.g. k-means-trained,
+    then frozen) codebook: the centroid CTE is a VALUES list of exact
+    float64 literals instead of a table subset, so the assignment +
+    probe + rerank pipeline — the deterministic part of trained IVF —
+    is hash-checkable even though training itself is not (cross-task
+    float-sum order). ``repr`` of a Python float is its shortest exact
+    form, so the literals round-trip to the identical doubles numpy
+    serves with (VERDICT round 4 item 1)."""
+    rows = ",\n           ".join(
+        f"({cid}, [{', '.join(repr(float(v)) for v in row)}])"
+        for cid, row in enumerate(codebook)
+    )
+    cents = (
+        f"SELECT * FROM (VALUES {rows}) AS t(cid, embedding)"
+    )
+    return _ivf_oracle_body(cents, k, table)
+
+
+def _ivf_oracle_body(cents_sql: str, k: int, table: str) -> str:
+    """Shared assign -> probe -> rerank oracle skeleton; ``cents_sql``
+    supplies the codebook (table subset or frozen literals)."""
     d_assign = _dist2_sql("e.embedding", "c.embedding")
     d_probe = _dist2_sql("q.embedding", "c.embedding")
     dot = _dot_sql("a.embedding", "p.embedding", True)
     return f"""
 WITH cents AS (
-    SELECT vec_id AS cid, embedding FROM {table}
-    WHERE {_centroid_filter(stride, offset)}
+    {cents_sql}
 ),
 assigned AS (
     SELECT vec_id, embedding, cid FROM (

@@ -423,3 +423,21 @@ def test_train_ivf_codebook_converges_and_plugs_in(spark):
     rows = out.collect()
     assert len(rows) == 100  # 20 queries x top-5 through the Arrow path
     assert {r["query_id"] for r in rows} == set(range(20))
+
+
+def test_frozen_codebook_shape_and_roundtrip():
+    """The checked-in frozen codebook (scripts/freeze_ivf_codebook.py)
+    must have the serving dims the oracle assumes, and its reprs must
+    round-trip to identical doubles (the literal<->numpy equality the
+    ivf_served_oracle hash check rests on)."""
+    import numpy as np
+    from a_tree_spark.pipeline import similarity as S
+    from a_tree_spark.pipeline.ivf_frozen import FROZEN_CODEBOOK
+
+    C = np.array(FROZEN_CODEBOOK, dtype=np.float64)
+    assert C.shape[1] == S.EMBED_DIM and C.shape[0] >= S.IVF_MIN_CENTROIDS
+    assert np.isfinite(C).all()
+    # repr round-trip: what the oracle SQL inlines == what numpy serves
+    assert all(
+        float(repr(float(v))) == float(v) for row in FROZEN_CODEBOOK[:2] for v in row
+    )
