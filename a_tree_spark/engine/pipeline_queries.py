@@ -63,6 +63,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(dedup.corpus_with_dups(_documents(spark, sf_dir)))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        dedup.corpus_with_dups(_documents(spark, sf_dir))
+    )
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_embeddings(spark, sf_dir))
 
@@ -140,6 +146,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -171,6 +178,7 @@ PIPELINE_ORACLES = {
     "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup.minhash_lsh_oracle(n_bands=dedup.minhash_bands()),
     "dedup_simhash": dedup.simhash_oracle_sql(),
+    "dedup_simhash_pairs": dedup.simhash_near_dup_pairs_oracle(),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
     "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),

