@@ -53,12 +53,26 @@ def _float_attributes(forest: CompiledForest) -> list[str]:
     return out
 
 
-#: auto-pruning threshold: mean reference-cost of the LAZY leaves at
-#: which the two extra packed sweeps + candidate scatter pay for
-#: themselves. Cheap lazies (cost ~1 int compares, the flagship
-#: workload) stay dense; wide list operands (ALL_OF over 40 elements =
-#: cost 80, the measured 6.6x pruning win) switch the two-phase path on.
-ACCESS_PRUNING_MIN_MEAN_COST = 8.0
+#: auto-pruning threshold (round 5, recalibrated by measurement): the
+#: two-phase machinery — upper-bound sweep + candidate pull pass —
+#: costs O((nodes + parent edges) * packed_bytes) REGARDLESS of how
+#: much lazy work it saves, so the decision variable is the total
+#: deferred-work density: sum of reference leaf costs over the LAZY
+#: leaves per forest unit (nodes + edges). Measured A/B (4096-row
+#: batches, warm, identical outputs):
+#:   workload             density   pruned vs dense
+#:   uniform flagship     .0004-.011  0.42x LOSS (r3 flagship: 33.5s/14.1s)
+#:   skewed 100k subs     .014        0.44x LOSS
+#:   skewed 50k subs      .020        0.61x LOSS
+#:   skewed 10k subs      .086        2.27x WIN
+#:   skewed 400-2k subs   .353        4.6-5.1x WIN
+#:   wide-ALL_OF fixture  16.0        2.6-6.6x WIN
+#: Breakeven sits between .02 and .086; .05 splits it. (The round-3/4
+#: model thresholded the MEAN lazy cost at 8 instead, which mispredicts
+#: in both directions: the 400-sub skewed forest wins 4.6x at mean 6.2,
+#: and the 100k-sub skewed forest loses 2.3x at mean 12 — per-unit
+#: total cost is what tracks the sweep+pull overhead, not the mean.)
+ACCESS_PRUNING_MIN_COST_DENSITY = 0.05
 
 
 def _leaf_ref_cost(leaf) -> int:
@@ -80,12 +94,22 @@ def choose_access_pruning(evaluator: BatchEvaluator) -> bool:
     when the LAZY (deferred) leaves are expensive enough that skipping
     them on non-candidate rows beats the extra upper-bound sweep +
     downward candidate pass. Grouped leaves (inverted membership index,
-    grouped equality) already cost O(occurrences) and are never lazy."""
+    grouped equality) already cost O(occurrences) and are never lazy.
+
+    Decision variable: total lazy cost per forest unit (nodes +
+    parent-CSR edges) >= ACCESS_PRUNING_MIN_COST_DENSITY — the
+    candidate pull pass is O(forest size x packed bytes) whether or
+    not it saves anything, so what predicts the win is how much
+    deferred work each unit of that overhead buys back (measured
+    calibration table at the constant; a mean-lazy-cost threshold
+    mispredicted in both directions)."""
     lazy = evaluator.lazy_leaf_idxs
     if not lazy:
         return False
-    costs = [_leaf_ref_cost(evaluator.forest.leaves[i]) for i in lazy]
-    return sum(costs) / len(costs) >= ACCESS_PRUNING_MIN_MEAN_COST
+    total = sum(_leaf_ref_cost(evaluator.forest.leaves[i]) for i in lazy)
+    edges = len(evaluator._parent_csr()[0])
+    density = total / max(evaluator.forest.num_nodes + edges, 1)
+    return density >= ACCESS_PRUNING_MIN_COST_DENSITY
 
 
 def match_events(

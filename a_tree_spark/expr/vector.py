@@ -1196,8 +1196,20 @@ class BatchEvaluator:
         leaf_cand[:] = 0
         leaf_cand[self.leaf_of_node] = cand[: self.n_leaf_nodes]
 
-        # phase 2: lazy leaves on candidate rows only
-        for leaf_idx in self.lazy_leaf_idxs:
+        # phase 2: lazy leaves on candidate rows only. Leaves whose
+        # candidate bitset is entirely ZERO are skipped without even an
+        # unpack: by the downward-pass invariant their value cannot
+        # affect any root on any row, so the upper-bound TRUE bits may
+        # stay in leaf_bits (writing FALSE, as the k==0 branch below
+        # does, is equally valid — both are unobservable at the roots).
+        # On heavy-tailed workloads (skewed_page_subscriptions: ~25k
+        # distinct wide all-of leaves, each selective) most lazy leaves
+        # have no candidates in most batches, and the per-leaf python
+        # iteration itself was the phase-2 floor. One vectorized
+        # any-reduction finds the live subset.
+        lazy_arr = np.asarray(self.lazy_leaf_idxs, dtype=np.int64)
+        live = lazy_arr[leaf_cand[lazy_arr].any(axis=1)] if len(lazy_arr) else lazy_arr
+        for leaf_idx in live:
             mask = np.unpackbits(
                 leaf_cand[leaf_idx], bitorder="little"
             )[:n].astype(bool)

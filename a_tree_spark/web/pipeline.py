@@ -119,10 +119,16 @@ def skewed_page_subscriptions(n: int) -> dict[int, str]:
     with a 3600-element list (benches/data/search.json). Deterministic
     in i; shape:
 
-    - Zipf-ish widths: rank r = (i mod 97)+1 gets a ~1200/r-element
-      token list (a few 1200-wide heads, a 4-12 tail), all drawn from a
-      HOT token subspace (500 of 5000) so list contents overlap hard;
+    - Zipf-ish widths: rank r = (i mod 97)+1 gets a ~240/r-element
+      token list (a few 240-wide heads, a 4-12 tail), all drawn from a
+      HOT token subspace (2000 of 5000) so list contents overlap hard;
     - 3 hot languages / 2 hot tlds carry most equality predicates;
+    - every subscription ALSO conjoins a narrow numeric range so
+      per-subscription hit rates stay at realistic pub/sub selectivity
+      (~0.05-0.5%/sub; a first cut without the ranges matched ~1,100
+      subscriptions per page — wide membership over a 5,000-token space
+      is inherently unselective, which real systems offset with
+      high-cardinality list domains or extra conjuncts);
     - every 4th subscription conjoins a wide-ish ``all of`` (4-8
       elements, cost 8-16 in the reference cost model) — the generic
       lazy leaves that flip the cost-model access pruning ON
@@ -135,31 +141,36 @@ def skewed_page_subscriptions(n: int) -> dict[int, str]:
     subs: dict[int, str] = {}
     for i in range(n):
         r = (i % 97) + 1
-        width = min(3600, max(4, 1200 // r))
+        width = min(3600, max(4, 240 // r))
         toks = ", ".join(
-            f"'tok{(i * 131 + j * 17) % 500}'" for j in range(width)
+            f"'tok{(i * 131 + j * 17) % 2000}'" for j in range(width)
         )
         lang = hot_langs[i % 3] if i % 10 < 8 else langs[i % len(langs)]
         tld = hot_tlds[i % 2] if i % 10 < 8 else tlds[i % len(tlds)]
         lo = 20 + (i * 13) % 55
+        band = (i * 11) % 18
         t = i % 4
         if t == 0:
-            subs[i] = f"lang = '{lang}' and lead_tokens one of [{toks}]"
+            subs[i] = (
+                f"lang = '{lang}' and lead_tokens one of [{toks}] "
+                f"and n_tokens >= {lo} and n_tokens < {lo + 3}"
+            )
         elif t == 1:
             w4 = 4 + (i % 5)
             all_toks = ", ".join(
-                f"'tok{(i * 31 + j * 7) % 500}'" for j in range(w4)
+                f"'tok{(i * 31 + j * 7) % 2000}'" for j in range(w4)
             )
             subs[i] = f"tld = '{tld}' and lead_tokens all of [{all_toks}]"
         elif t == 2:
             subs[i] = (
-                f"lead_tokens none of [{toks}] "
-                f"and n_tokens >= {lo} and n_tokens < {lo + 2}"
+                f"lead_tokens none of [{toks}] and has_geo "
+                f"and lat_band in [{band}] and n_tokens = {lo}"
             )
         else:
             subs[i] = (
                 f"lang in ['{hot_langs[0]}', '{lang}'] and has_geo "
-                f"and lead_tokens one of [{toks}] and n_tokens > {lo}"
+                f"and lead_tokens one of [{toks}] "
+                f"and n_tokens > {lo} and n_tokens <= {lo + 2}"
             )
     return subs
 

@@ -441,3 +441,27 @@ def test_frozen_codebook_shape_and_roundtrip():
     assert all(
         float(repr(float(v))) == float(v) for row in FROZEN_CODEBOOK[:2] for v in row
     )
+
+
+def test_ann_plan_time_jobs_bounded(spark):
+    """VERDICT round 4 item 4: with n_rows supplied (parquet-footer /
+    catalog statistics), building the ANN plans must not scan the
+    table: lsh_topk submits ZERO Spark jobs at plan time, ivf_topk
+    exactly ONE (the single combined centroid+query collect that is
+    inherent to materializing the codebook driver-side)."""
+    from a_tree_spark.pipeline import similarity as S
+
+    sc = spark.sparkContext
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    sc.setJobGroup("lsh_plan_probe", "plan-time probe")
+    S.lsh_topk(emb, n_rows=500)
+    lsh_jobs = sc.statusTracker().getJobIdsForGroup("lsh_plan_probe")
+
+    sc.setJobGroup("ivf_plan_probe", "plan-time probe")
+    S.ivf_topk(emb, n_rows=500)
+    ivf_jobs = sc.statusTracker().getJobIdsForGroup("ivf_plan_probe")
+    sc.setLocalProperty("spark.jobGroup.id", None)
+
+    assert len(lsh_jobs) == 0, f"lsh_topk ran {len(lsh_jobs)} plan-time jobs"
+    assert len(ivf_jobs) == 1, f"ivf_topk ran {len(ivf_jobs)} plan-time jobs"

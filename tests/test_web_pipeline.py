@@ -463,6 +463,14 @@ def test_skewed_workload_flips_pruning_on(spark):
     assert not choose_access_pruning(
         BatchEvaluator(build_page_forest(400).compile())
     )
+    # density term (round 5): the SAME templates at 50k subscriptions
+    # dilute the lazy cost across a ~300k-unit forest — the candidate
+    # pass would cost more than the lazies save (measured 0.61x), so
+    # the model must flip back OFF at scale
+    big = ForestBuilder(PAGE_ATTRIBUTES)
+    for sub_id, expression in skewed_page_subscriptions(50_000).items():
+        big.insert(sub_id, expression)
+    assert not choose_access_pruning(BatchEvaluator(big.compile()))
 
     pages = synth_pages_df(spark, N_PAGES, partitions=4).withColumn(
         "page_key", F.xxhash64("url")
