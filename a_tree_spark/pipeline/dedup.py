@@ -258,12 +258,13 @@ def _mh_b(seed: int) -> int:
     return _splitmix64(seed ^ 0x5DEECE66D) % MINHASH_PRIME
 
 
-def _shingle_h_sql(instr_fn: str) -> str:
-    """32-bit integer from the first 8 hex nibbles of md5(shingle) —
+def _shingle_h_sql(instr_fn: str, expr: str = "shingle") -> str:
+    """32-bit integer from the first 8 hex nibbles of md5(``expr``) —
     rendered with the dialect's position function (Spark instr, DuckDB
-    strpos; same 1-based semantics)."""
+    strpos; same 1-based semantics). Also reused by the rolling-hash
+    document fingerprint (``pipeline/text.py``)."""
     terms = [
-        f"({instr_fn}('0123456789abcdef', substring(md5(shingle), {i + 1}, 1)) - 1)"
+        f"({instr_fn}('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
         f" * CAST({16 ** (7 - i)} AS BIGINT)"   # BIGINT: the sum tops 2^32
         for i in range(8)
     ]
@@ -523,7 +524,19 @@ def simhash_near_dup_pairs(
     end (codegen fingerprints, one keyed self-join, no Python); parity
     with the stream's drop set is pinned by
     tests/test_streaming.py::test_stream_neardup_matches_batch_pairs
-    (VERDICT round 4 item 7)."""
+    (VERDICT round 4 item 7).
+
+    Scale honesty: unlike the size-aware LSH paths, the band key width
+    is FIXED at 16 bits by the pigeonhole requirement (4 bands over 64
+    bits at hamming <= 3), so bucket population grows ~n/2^16 per band
+    and the within-bucket join widens quadratically past n ~ 1e8. At
+    that scale prefer (a) the streaming operator, whose state is
+    bounded by the watermark horizon, or (b) ``within_hamming`` of the
+    full pair set restricted by a first-pass exact-dup collapse —
+    hot buckets in web corpora are overwhelmingly template/exact
+    duplicates that ``exact_duplicates`` removes for free. AQE skew
+    handling covers the residual (same guard stack as the shingle
+    join's ``MAX_SHINGLE_DF``)."""
     sig = simhash_signatures(corpus)
     bands = sig.select(
         "doc_id",

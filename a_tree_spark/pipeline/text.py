@@ -65,6 +65,52 @@ N_STOPWORDS_SQL = (
 )
 FINGERPRINT_SQL = "substr(md5(text), 1, 16)"
 
+# BPE-ish regex token count (the brief's second tokenizer): greedy
+# letter runs | digit runs | single non-alnum — a lookahead-free subset
+# of the GPT-2 pretokenizer pattern that Java regex (Spark) and RE2
+# (DuckDB) match identically (leftmost-first alternation, same greed).
+BPE_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return f"CAST(regexp_count(text, '{BPE_TOKEN_PATTERN}') AS BIGINT)"
+    return (
+        f"CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)"
+    )
+
+
+def rolling_fingerprint_sql(dialect: str) -> str:
+    """Winnowing-style rolling-hash document fingerprint: the MINIMUM
+    of the rolling word-3-gram hashes (the same md5-nibble 32-bit hash
+    the MinHash path uses — ``dedup._shingle_h_sql``), falling back to
+    the whole-text hash for docs shorter than one 3-gram. Two documents
+    sharing their minimal shingle collide — the single-seed extreme of
+    MinHash, which is exactly what a winnowing fingerprint is. Pure
+    array HOFs on both engines; no explode, no shuffle. Assumes a
+    pre-split ``w`` column (added by ``text_features`` / the oracle's
+    inner select) — 0-based indexing in Spark, 1-based in DuckDB."""
+    from .dedup import _shingle_h_sql
+
+    if dialect == "spark":
+        h = _shingle_h_sql("instr", "concat_ws(' ', w[i], w[i + 1], w[i + 2])")
+        return (
+            "CASE WHEN size(w) < 3 THEN "
+            + _shingle_h_sql("instr", "text")
+            + " ELSE array_min(transform(sequence(0, size(w) - 3), i -> "
+            + h
+            + ")) END"
+        )
+    h = _shingle_h_sql(
+        "strpos", "(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])"
+    )
+    return (
+        "CASE WHEN len(w) < 3 THEN "
+        + _shingle_h_sql("strpos", "text")
+        + " ELSE list_min([" + h + " for i in generate_series(1, len(w) - 2)])"
+        " END"
+    )
+
 
 def quality_components_sql() -> dict[str, str]:
     """Integer-exact components; ratios derive with one division."""
@@ -91,21 +137,32 @@ IS_QUALITY_SQL = (
 
 
 def text_features(documents: DataFrame) -> DataFrame:
-    """doc_id + all text-analysis columns, pure Catalyst expressions."""
+    """doc_id + all text-analysis columns, pure Catalyst expressions.
+    The word array ``w`` is materialized once so the rolling-hash
+    fingerprint's HOFs don't re-split per shingle."""
     components = quality_components_sql()
     cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
     cols.append(F.expr(lang_id_sql()).alias("lang_id"))
     for name, sql in components.items():
         cols.append(F.expr(sql).alias(name))
+    cols.append(F.expr(bpe_token_count_sql("spark")).alias("n_bpe_tokens"))
     cols.append(F.expr(IS_QUALITY_SQL).alias("is_quality"))
     cols.append(F.expr(FINGERPRINT_SQL).alias("fingerprint"))
-    return documents.select(*cols)
+    cols.append(
+        F.expr(rolling_fingerprint_sql("spark")).alias("rolling_fp")
+    )
+    return documents.withColumn("w", F.split("text", " ")).select(*cols)
 
 
 def text_features_oracle_sql(table: str = "documents") -> str:
     components = quality_components_sql()
     select = ["doc_id", "lang AS labeled_lang", f"{lang_id_sql()} AS lang_id"]
     select += [f"{sql} AS {name}" for name, sql in components.items()]
+    select.append(f"{bpe_token_count_sql('duckdb')} AS n_bpe_tokens")
     select.append(f"{IS_QUALITY_SQL} AS is_quality")
     select.append(f"{FINGERPRINT_SQL} AS fingerprint")
-    return f"SELECT {', '.join(select)} FROM {table}"
+    select.append(f"{rolling_fingerprint_sql('duckdb')} AS rolling_fp")
+    return (
+        f"SELECT {', '.join(select)} FROM "
+        f"(SELECT *, string_split(text, ' ') AS w FROM {table})"
+    )

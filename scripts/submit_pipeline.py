@@ -26,13 +26,27 @@ def main() -> None:
     parser.add_argument("--checkpoint-root", default="/tmp/a_tree_spark_ckpt")
     parser.add_argument("--units", type=int, default=64,
                         help="resume granularity (work units)")
+    parser.add_argument("--shards", type=int, default=1,
+                        help="partition the subscription set into k "
+                             "independent forests (10M+ distinct-root "
+                             "scale; see web.pipeline.sharded_root_partials)")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
 
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
     from a_tree_spark.pipeline.checkpoint import StageCheckpoint
     from a_tree_spark.web import build_page_forest, synth_pages_df
-    from a_tree_spark.web.pipeline import fused_match_pages, salted_cell_stats
+    from a_tree_spark.web.pipeline import (
+        build_forests,
+        fused_match_pages,
+        salted_cell_stats,
+        shard_subscriptions,
+        standing_page_subscriptions,
+    )
 
     # on a cluster the master/conf come from spark-submit; fall back to
     # the tuned local session for standalone runs
@@ -47,7 +61,17 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
 
-    forest = build_page_forest(args.subscriptions)
+    if args.shards > 1:
+        # subscription-set sharding: k independent forests; the
+        # sub-level match streams union directly (sub ids are globally
+        # unique across shards, no root disambiguation needed)
+        forests = build_forests(
+            shard_subscriptions(
+                standing_page_subscriptions(args.subscriptions), args.shards
+            )
+        )
+    else:
+        forests = [build_page_forest(args.subscriptions)]
     keyed = pages.withColumn("page_key", F.xxhash64("url")).withColumn(
         "unit_id", F.pmod(F.xxhash64("url"), F.lit(args.units))
     )
@@ -57,7 +81,11 @@ def main() -> None:
 
     def compute(pending):
         subset = keyed.join(F.broadcast(pending), "unit_id")
-        return fused_match_pages(subset, forest).join(
+        matched = reduce(
+            DataFrame.union,
+            [fused_match_pages(subset, f) for f in forests],
+        )
+        return matched.join(
             keyed.select("page_key", "unit_id").distinct(), "page_key"
         )
 

@@ -19,8 +19,9 @@ def test_pipeline_query_matches_oracle(spark, name):
 def test_oracle_queries_nonempty(spark):
     # guard against vacuous green: the interesting ones must return rows
     for name in ["text_features", "dedup_exact", "dedup_ngram_jaccard",
-                 "dedup_minhash_lsh", "ann_brute_force", "ann_lsh",
-                 "ann_ivf", "media_metadata"]:
+                 "dedup_minhash_lsh", "dedup_simhash_pairs",
+                 "ann_brute_force", "ann_lsh", "ann_ivf",
+                 "ann_ivf_trained", "media_metadata"]:
         assert PIPELINE_QUERIES[name](spark, SF_DIR).count() > 0, name
 
 
@@ -465,3 +466,56 @@ def test_ann_plan_time_jobs_bounded(spark):
 
     assert len(lsh_jobs) == 0, f"lsh_topk ran {len(lsh_jobs)} plan-time jobs"
     assert len(ivf_jobs) == 1, f"ivf_topk ran {len(ivf_jobs)} plan-time jobs"
+
+
+def test_rolling_fingerprint_and_bpe_tokens_python_reference():
+    """The winnowing-style rolling_fp (min rolling 3-gram md5 hash,
+    whole-text fallback) and the BPE-ish regex token count must match
+    independent pure-python references on the DuckDB dialect; the
+    Spark dialect is pinned equal by the text_features oracle gate."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from a_tree_spark.pipeline.text import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count_sql,
+        rolling_fingerprint_sql,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref_fp(text: str) -> int:
+        w = text.split(" ")
+        if len(w) < 3:
+            return h32(text)
+        return min(h32(" ".join(w[i:i + 3])) for i in range(len(w) - 2))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.execute(
+        f"SELECT text, {rolling_fingerprint_sql('duckdb')} AS fp, "
+        f"{bpe_token_count_sql('duckdb')} AS nb "
+        "FROM (SELECT *, string_split(text, ' ') AS w FROM documents) "
+        "LIMIT 100"
+    ).fetchall()
+    con.close()
+    assert rows
+    for text, fp, nb in rows:
+        assert fp == ref_fp(text)
+        assert nb == len(re.findall(BPE_TOKEN_PATTERN, text))
+    # short-doc fallback + punctuation splitting, via literals
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {rolling_fingerprint_sql('duckdb')}, "
+        f"{bpe_token_count_sql('duckdb')} FROM "
+        "(SELECT 'ab cd' AS text, string_split('ab cd', ' ') AS w)"
+    ).fetchone()
+    con.close()
+    assert got[0] == h32("ab cd")  # < 3 words -> whole-text hash
+    assert got[1] == 2
