@@ -531,10 +531,11 @@ def simhash_near_dup_pairs(
     bits at hamming <= 3), so bucket population grows ~n/2^16 per band
     and the within-bucket join widens quadratically past n ~ 1e8. At
     that scale prefer (a) the streaming operator, whose state is
-    bounded by the watermark horizon, or (b) ``within_hamming`` of the
-    full pair set restricted by a first-pass exact-dup collapse —
-    hot buckets in web corpora are overwhelmingly template/exact
-    duplicates that ``exact_duplicates`` removes for free. AQE skew
+    bounded by the watermark horizon, or (b) running this pair join
+    AFTER a first-pass ``exact_duplicates`` collapse — hot buckets in
+    web corpora are overwhelmingly template/exact duplicates, and
+    collapsing them first shrinks bucket populations to the genuinely
+    near-distinct residue. AQE skew
     handling covers the residual (same guard stack as the shingle
     join's ``MAX_SHINGLE_DF``)."""
     # cache the signatures: the self-join references them on BOTH
