@@ -698,6 +698,22 @@ def bucketed_page_enrichment(
     )
 
 
+#: ~8 MB evaluator at the measured ~160 B/node — the regime where the
+#: packed sweep working set stays cache-friendly and per-run broadcast
+#: re-ship is cheap. BENCH/BASELINE.md round 5: the 24.4 MB 1e6-sub
+#: single forest swung 2.7x across windows while 4 x 6.35 MB shards ran
+#: within 3.5% at equal-or-better throughput.
+SHARD_TARGET_NODES = 50_000
+
+
+def choose_shards(num_nodes: int) -> int:
+    """Measured sharding guidance: one forest per ~SHARD_TARGET_NODES
+    compiled nodes (ceil). Callers that already built a ForestBuilder
+    can pass ``builder.compile().num_nodes``; 1 for every workload
+    below ~50k nodes (the 100k-sub flagship compiles to ~39k)."""
+    return max(1, -(-num_nodes // SHARD_TARGET_NODES))
+
+
 def shard_subscriptions(
     subscriptions: dict[int, str], n_shards: int
 ) -> list[dict[int, str]]:

@@ -480,3 +480,15 @@ def test_skewed_workload_flips_pruning_on(spark):
     a = sorted(map(tuple, fused.select("page_key", "sub_id").collect()))
     b = sorted(map(tuple, composable.select("page_key", "sub_id").collect()))
     assert a == b and len(a) > 0
+
+
+def test_choose_shards_guidance():
+    """Measured regime (BENCH/BASELINE.md round 5): ~50k nodes per
+    shard. 100k-sub flagship (~39k nodes) -> 1; the 1e6-sub forest
+    (~150k nodes, 24.4 MB) -> 3-4."""
+    from a_tree_spark.web.pipeline import choose_shards
+
+    assert choose_shards(1) == 1
+    assert choose_shards(39_000) == 1
+    assert choose_shards(50_001) == 2
+    assert choose_shards(150_000) == 3
