@@ -492,3 +492,31 @@ def test_choose_shards_guidance():
     assert choose_shards(39_000) == 1
     assert choose_shards(50_001) == 2
     assert choose_shards(150_000) == 3
+
+
+def test_sharded_sub_level_matches_equal_single(spark):
+    """The deployment path (scripts/submit_pipeline.py --shards k)
+    unions SUB-level match streams across shard forests — sub ids are
+    globally unique across shards, so the union must equal the single
+    forest's matches exactly, no root disambiguation involved."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    from a_tree_spark.web.pipeline import (
+        build_forests, fused_match_pages, shard_subscriptions,
+    )
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4).withColumn(
+        "page_key", F.xxhash64("url")
+    )
+    subs = standing_page_subscriptions(N_SUBS)
+    single = build_page_forest(N_SUBS)
+    forests = build_forests(shard_subscriptions(subs, 3))
+
+    want = sorted(map(tuple, fused_match_pages(pages, single)
+                      .select("page_key", "cell_id", "sub_id").collect()))
+    got = sorted(map(tuple, reduce(
+        DataFrame.union, [fused_match_pages(pages, f) for f in forests]
+    ).select("page_key", "cell_id", "sub_id").collect()))
+    assert got == want and len(got) > 0
