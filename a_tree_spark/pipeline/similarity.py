@@ -200,8 +200,25 @@ def lsh_topk(
     buckets_q = band_buckets_arrow(
         queries, "query_id", "q", n_bands, planes_per_band
     )
+    # multi-probe (round 5): besides the exact bucket, probe every
+    # 1-bit-flip neighbor — a vector within angular distance of the
+    # query most often differs in at most one hyperplane sign per
+    # band, so R extra probes recover most of the recall a single
+    # bucket misses (measured recall@5 vs brute force: 0.52 -> 0.98
+    # at sf0.01, 0.33 -> 0.81 at sf0.1; BENCH/BASELINE.md). Cost stays
+    # bucket-bounded: (R+1) * expected_width candidates per band per
+    # query, independent of n — and only the tiny QUERY side fans
+    # out; the table's bucket stream is untouched.
+    flips = [0] + [1 << j for j in range(planes_per_band)]
+    probes_q = buckets_q.select(
+        "query_id",
+        "band",
+        F.explode(
+            F.array(*[F.expr(f"bucket ^ {f}") for f in flips])
+        ).alias("bucket"),
+    )
     cand_ids = (
-        buckets_e.join(F.broadcast(buckets_q), ["band", "bucket"])
+        buckets_e.join(F.broadcast(probes_q), ["band", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .distinct()
@@ -247,14 +264,21 @@ def lsh_topk_oracle(
         f"FROM q"
         for b in range(n_bands)
     )
+    flips = ", ".join(
+        f"({f})" for f in [0] + [1 << j for j in range(planes_per_band)]
+    )
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM {table} WHERE vec_id < {N_QUERIES}),
 eb AS ({eb}),
 qb AS ({qb}),
+qprobe AS (
+    SELECT query_id, band, xor(bucket, flip) AS bucket
+    FROM qb CROSS JOIN (VALUES {flips}) AS f(flip)
+),
 cand AS (
-    SELECT DISTINCT qb.query_id, eb.vec_id
-    FROM eb JOIN qb USING (band, bucket)
-    WHERE eb.vec_id <> qb.query_id
+    SELECT DISTINCT qprobe.query_id, eb.vec_id
+    FROM eb JOIN qprobe USING (band, bucket)
+    WHERE eb.vec_id <> qprobe.query_id
 )
 SELECT query_id, neighbor_id, rank FROM (
     SELECT c.query_id, e.vec_id AS neighbor_id,
@@ -506,6 +530,22 @@ IVF_MIN_CENTROIDS = 64
 N_PROBE = 2
 
 
+def ivf_nprobe(n_centroids: int) -> int:
+    """Size-aware probe count ~ sqrt(k) (floored at the old constant):
+    probing a FIXED 2 of k lists scans 2n/k vectors but its recall
+    falls as k grows — measured recall@5 vs brute force was 0.31 at
+    k=71 (sf0.01) and 0.17 at k=70 (sf0.1). sqrt(k) probes (8 at
+    k=71) is the classic operating point: rerank volume stays
+    ~sqrt(k)·n/k = n/sqrt(k) (shrinking fraction as n grows) while
+    the probe set covers the query's true cluster neighborhood.
+    Measured after: 0.53 / 0.38 (deterministic-subset codebook) and
+    0.64 / 0.52 (trained codebook) — the residual gap is quantizer
+    quality, not probe width (full table in BENCH/BASELINE.md)."""
+    import math
+
+    return max(N_PROBE, math.isqrt(max(n_centroids, 1)))
+
+
 def ivf_centroids(n_rows: int) -> int:
     """k ~ sqrt(n) (classic IVF sizing: balances list width n/k against
     probe cost k), floored at 64 so even small corpora exercise the
@@ -689,8 +729,8 @@ def ivf_topk(
     n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
-    (inverted lists), probe the N_PROBE nearest lists per query, exact
-    dot-product rerank inside the probed lists.
+    (inverted lists), probe the sqrt(k) nearest lists per query
+    (``ivf_nprobe``), exact dot-product rerank inside the probed lists.
 
     ``n_centroids=None`` derives k ~ sqrt(n) (64 floor) from the corpus
     row count — the production entry point always takes this path, so
@@ -703,7 +743,7 @@ def ivf_topk(
     either way ZERO joins, windows, or shuffles touch the embedding
     table (round 2 rode every vector through a Window.partitionBy
     exchange). Probes come from the same codebook driver-side; the only
-    pre-rerank data movement is broadcasting N_QUERIES * N_PROBE probe
+    pre-rerank data movement is broadcasting N_QUERIES * sqrt(k) probe
     rows into the assigned scan. ``n_rows`` skips the plan-time count
     job when the caller knows the corpus size (see ``lsh_topk``).
 
@@ -788,14 +828,16 @@ def ivf_topk(
             assign, schema="vec_id long, embedding array<float>, cid long"
         )
 
-    # probes: nearest N_PROBE centroids per query, computed driver-side
-    # in the same exact arithmetic (ORDER BY d2, cid tie-break)
+    # probes: nearest sqrt(k) centroids per query (ivf_nprobe),
+    # computed driver-side in the same exact arithmetic
+    # (ORDER BY d2, cid tie-break)
+    n_probe = ivf_nprobe(len(cids))
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     d2q = _numpy_dist2(Q, C)
     probe_pairs = [
         (int(r["vec_id"]), int(cids[j]))
         for qi, r in enumerate(q_rows)
-        for j in np.lexsort((cids, d2q[qi]))[:N_PROBE]
+        for j in np.lexsort((cids, d2q[qi]))[:n_probe]
     ]
     spark = embeddings.sparkSession
     probes = spark.createDataFrame(
@@ -833,7 +875,9 @@ def ivf_topk_oracle(
         f"SELECT vec_id AS cid, embedding FROM {table}\n"
         f"    WHERE {_centroid_filter(stride, offset)}"
     )
-    return _ivf_oracle_body(cents, k, table)
+    # actual centroid count under the modulus filter (ids 0..n_rows-1)
+    actual_k = (n_rows - offset + stride - 1) // stride
+    return _ivf_oracle_body(cents, k, table, ivf_nprobe(actual_k))
 
 
 def ivf_served_oracle(
@@ -856,12 +900,15 @@ def ivf_served_oracle(
     cents = (
         f"SELECT * FROM (VALUES {rows}) AS t(cid, embedding)"
     )
-    return _ivf_oracle_body(cents, k, table)
+    return _ivf_oracle_body(cents, k, table, ivf_nprobe(len(codebook)))
 
 
-def _ivf_oracle_body(cents_sql: str, k: int, table: str) -> str:
+def _ivf_oracle_body(
+    cents_sql: str, k: int, table: str, n_probe: int
+) -> str:
     """Shared assign -> probe -> rerank oracle skeleton; ``cents_sql``
-    supplies the codebook (table subset or frozen literals)."""
+    supplies the codebook (table subset or frozen literals),
+    ``n_probe`` the sqrt(k) probe width (``ivf_nprobe``)."""
     d_assign = _dist2_sql("e.embedding", "c.embedding")
     d_probe = _dist2_sql("q.embedding", "c.embedding")
     dot = _dot_sql("a.embedding", "p.embedding", True)
@@ -884,7 +931,7 @@ probes AS (
                                   ORDER BY {d_probe}, c.cid) AS r
         FROM {table} q CROSS JOIN cents c
         WHERE q.vec_id < {N_QUERIES}
-    ) WHERE r <= {N_PROBE}
+    ) WHERE r <= {n_probe}
 )
 SELECT query_id, neighbor_id, rank FROM (
     SELECT p.query_id, a.vec_id AS neighbor_id,
