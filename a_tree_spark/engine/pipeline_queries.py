@@ -69,6 +69,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.simhash_near_dup_pairs(
+        dedup.corpus_with_dups(_documents(spark, sf_dir))
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup.corpus_with_dups(_documents(spark, sf_dir))
+    pairs = dedup.simhash_near_dup_pairs(corpus)
+    return dedup.canonical_documents(corpus, dedup.duplicate_clusters(pairs))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_embeddings(spark, sf_dir))
 
@@ -147,6 +160,8 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -179,6 +194,8 @@ PIPELINE_ORACLES = {
     "dedup_minhash_lsh": dedup.minhash_lsh_oracle(n_bands=dedup.minhash_bands()),
     "dedup_simhash": dedup.simhash_oracle_sql(),
     "dedup_simhash_pairs": dedup.simhash_near_dup_pairs_oracle(),
+    "dedup_clusters": dedup.duplicate_clusters_oracle(),
+    "dedup_canonical": dedup.canonical_documents_oracle(),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
     "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),

@@ -626,3 +626,149 @@ def simhash_oracle(text: str) -> int:
         if votes[bit] > 0:
             sig |= 1 << bit
     return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+# ------------------------------------------------- cluster resolution
+#
+# Pair emission (simhash/minhash/jaccard families above) is only half
+# of a production dedup pass: the pipeline then has to RESOLVE the
+# pair graph into duplicate clusters and keep one canonical document
+# per cluster. The reference engine stops at boolean match reporting
+# (src/atree.rs search -> Report), so this is a beyond-reference
+# training-data operator, same as the ANN family.
+
+
+def duplicate_clusters(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Resolve a near-dup pair set into connected components:
+    (doc_id, cluster_id) for every doc that appears in >= 1 pair, where
+    cluster_id is the MINIMUM doc_id reachable in the pair graph — a
+    deterministic, order-free cluster label (hash-oracle-able).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round a node takes min(own label, neighbours' labels, its
+    label's label); the third term (following the current label mapping
+    as extra edges) is path-halving, so rounds needed are
+    O(log diameter), not O(diameter) — the same convergence shape as
+    the large-star/small-star MapReduce CC algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), built
+    from plain DataFrame joins.
+
+    Scale shape (100 TB): each round is two keyed equi-joins plus one
+    map-side-combined groupBy min, all on the same doc_id key — AQE
+    coalesces the tiny tail as components collapse. localCheckpoint
+    after every round cuts the iterative lineage (same pattern as the
+    kNN loop, spatial/ops.py); on a real cluster use reliable
+    checkpoints. Driver-side work is one tiny convergence count per
+    round, never the label set itself."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "lbl")
+        )
+        jump = (
+            labels.join(
+                labels.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("jlbl")
+                ),
+                "lbl",
+            ).select("id", F.col("jlbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.select("id", "lbl")
+            .union(nbr)
+            .union(jump)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old"), "id"
+            )
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def duplicate_clusters_oracle(
+    table: str = "documents", max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    """DuckDB mirror: recursive-CTE transitive closure over the same
+    banded SimHash pair set, min reachable id per node. Exponential in
+    component size in the worst case — fine at oracle scale, which is
+    exactly why the Spark side uses log-round label propagation
+    instead."""
+    pairs_sql = simhash_near_dup_pairs_oracle(table, max_hamming)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+""".strip()
+
+
+def canonical_documents(corpus: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Surviving doc ids after near-dup collapse: every document except
+    non-representative cluster members (cluster_id < doc_id). One
+    anti-join on doc_id; the losers side is |clustered docs| -
+    |clusters|, typically a small fraction of the corpus, so AQE turns
+    this into a broadcast anti-join when it fits."""
+    losers = clusters.where(
+        F.col("cluster_id") < F.col("doc_id")
+    ).select("doc_id")
+    return corpus.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+def canonical_documents_oracle(
+    table: str = "documents", max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    pairs_sql = simhash_near_dup_pairs_oracle(table, max_hamming)
+    return f"""
+WITH RECURSIVE corpus AS ({corpus_cte(table)}),
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+),
+losers AS (
+    SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(lbl) < id
+)
+SELECT c.doc_id FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = c.doc_id)
+""".strip()

@@ -549,3 +549,44 @@ def test_ann_recall_floors(spark):
     assert recall(PQ.q_ann_lsh) >= 0.9
     assert recall(PQ.q_ann_ivf) >= 0.35
     assert recall(PQ.q_ann_ivf_trained) >= 0.3
+
+
+def test_duplicate_clusters_crafted_graph(spark):
+    """Transitive chain a-b-c-d collapses to min id; disjoint pair keeps
+    its own label; pointer jumping converges on a path graph (diameter 3
+    needs > 1 naive round but <= 25 with halving)."""
+    from a_tree_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 20, 1), (20, 30, 1), (30, 40, 2), (70, 80, 0)],
+        "doc_a long, doc_b long, hamming long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 70: 70, 80: 70}
+
+
+def test_canonical_documents_keeps_reps_and_singletons(spark):
+    from a_tree_spark.pipeline.dedup import (
+        canonical_documents,
+        duplicate_clusters,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (10, 20, 30, 40, 70, 80, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 20, 1), (20, 30, 1), (70, 80, 0)],
+        "doc_a long, doc_b long, hamming long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in canonical_documents(
+            corpus, duplicate_clusters(pairs)
+        ).collect()
+    )
+    # 10 represents {10,20,30}; 70 represents {70,80}; 40/99 untouched
+    assert kept == [10, 40, 70, 99]
