@@ -131,6 +131,14 @@ class ForestBuilder:
         """Live subscription ids (insert order preserved)."""
         return self._sub_root.keys()
 
+    @property
+    def live_node_count(self) -> int:
+        """Live DAG nodes right now, without compiling — arena length
+        minus tombstones. This is the capacity variable sharding
+        decisions key on (web/pipeline.py choose_shards), available
+        during insert streams at zero cost."""
+        return len(self._kind) - self._n_dead
+
     def insert(self, sub_id, expression: str | NnfNode) -> None:
         """Insert one expression in O(expression) (reference insert_root,
         src/atree.rs:110-181): shared subtrees hit the canonical-id map

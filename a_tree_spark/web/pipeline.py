@@ -714,6 +714,34 @@ def choose_shards(num_nodes: int) -> int:
     return max(1, -(-num_nodes // SHARD_TARGET_NODES))
 
 
+def count_forest_nodes(subscriptions: dict[int, str]) -> int:
+    """EXACT compiled node count of a subscription set at
+    distinct-insert cost, so ``run_pipeline(n_shards="auto")`` can pick
+    a shard count up front without paying the full forest build twice.
+
+    Key fact (pinned by tests/test_web_pipeline.py): re-inserting an
+    expression string that is already in the forest appends ZERO nodes
+    — the walk terminates in the canonical-id map and only the sub-id
+    list grows. So inserting each DISTINCT expression once yields the
+    same node count as inserting all N, and real workloads are heavily
+    repetitive (the 1e6-sub flagship mix has ~36k distinct roots:
+    BENCH/BASELINE.md). Sampling estimators were tried first and
+    rejected by measurement: node growth here is linear until the
+    template cycle closes (~1.8 nodes/sub), then flat (0.2) — a knee no
+    prefix/marginal/power-law extrapolation from 2k samples can see
+    (prefix marginal-rate overshot 4.7x at 100k subs), and a wrong
+    shard count is expensive in BOTH directions (undershard: broadcast
+    too big; overshard: one extra full Arrow page pass per shard)."""
+    seen: set[str] = set()
+    builder = ForestBuilder(PAGE_ATTRIBUTES)
+    for sub_id, expression in subscriptions.items():
+        if expression in seen:
+            continue
+        seen.add(expression)
+        builder.insert(sub_id, expression)
+    return builder.live_node_count
+
+
 def shard_subscriptions(
     subscriptions: dict[int, str], n_shards: int
 ) -> list[dict[int, str]]:
@@ -799,7 +827,7 @@ def run_pipeline(
     level: int = DEFAULT_LEVEL,
     strategy: str = "fused",
     pages: DataFrame | None = None,
-    n_shards: int = 1,
+    n_shards: int | str = 1,
 ) -> DataFrame:
     """End-to-end: synthesize (or accept) pages, match, aggregate.
     strategy="fused" (default) uses the single-Python-stage kernel;
@@ -807,6 +835,9 @@ def run_pipeline(
     ``n_shards > 1`` (fused only) partitions the subscription set into
     independent forests whose partials union before the one downstream
     aggregation — the 10M-distinct-root scale path (sharded_root_partials).
+    ``n_shards="auto"`` derives the count from the exact node total at
+    distinct-insert cost (count_forest_nodes -> choose_shards) without
+    building the forest twice.
     """
     from .synth import synth_pages_df
 
@@ -814,6 +845,12 @@ def run_pipeline(
         pages = synth_pages_df(spark, n_pages)
     if strategy == "fused":
         keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
+        if n_shards == "auto":
+            n_shards = choose_shards(
+                count_forest_nodes(
+                    standing_page_subscriptions(n_subscriptions)
+                )
+            )
         if n_shards > 1:
             forests = build_forests(
                 shard_subscriptions(

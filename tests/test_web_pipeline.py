@@ -520,3 +520,54 @@ def test_sharded_sub_level_matches_equal_single(spark):
         DataFrame.union, [fused_match_pages(pages, f) for f in forests]
     ).select("page_key", "cell_id", "sub_id").collect()))
     assert got == want and len(got) > 0
+
+
+def test_reinsert_same_expression_adds_zero_nodes():
+    """The fact count_forest_nodes is built on: a repeated expression
+    string terminates in the canonical-id map and appends no nodes."""
+    from a_tree_spark.expr.compiler import ForestBuilder
+    from a_tree_spark.web.pipeline import PAGE_ATTRIBUTES
+
+    b = ForestBuilder(PAGE_ATTRIBUTES)
+    b.insert(1, "n_tokens > 100 and lang = 'en'")
+    before = b.live_node_count
+    b.insert(2, "n_tokens > 100 and lang = 'en'")
+    assert b.live_node_count == before
+    assert sorted(b.sub_ids()) == [1, 2]
+
+
+def test_count_forest_nodes_exact_under_repetition():
+    from a_tree_spark.expr.compiler import ForestBuilder
+    from a_tree_spark.web.pipeline import (
+        PAGE_ATTRIBUTES, count_forest_nodes, standing_page_subscriptions,
+    )
+
+    subs = standing_page_subscriptions(6000)  # past one template cycle
+    full = ForestBuilder(PAGE_ATTRIBUTES)
+    for sid, ex in subs.items():
+        full.insert(sid, ex)
+    assert count_forest_nodes(subs) == full.live_node_count
+
+
+def test_auto_shards_matches_explicit(spark, monkeypatch):
+    """n_shards='auto' must (a) pick 1 below the node target and
+    (b) with the target forced tiny, shard and still produce the
+    single-forest output exactly."""
+    from a_tree_spark.web import pipeline as wp
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    single = sorted(map(tuple, wp.run_pipeline(
+        spark, N_PAGES, N_SUBS, strategy="fused", pages=pages
+    ).collect()))
+    auto = sorted(map(tuple, wp.run_pipeline(
+        spark, N_PAGES, N_SUBS, strategy="fused", pages=pages,
+        n_shards="auto",
+    ).collect()))
+    assert auto == single and len(single) > 0
+
+    monkeypatch.setattr(wp, "SHARD_TARGET_NODES", 50)
+    forced = sorted(map(tuple, wp.run_pipeline(
+        spark, N_PAGES, N_SUBS, strategy="fused", pages=pages,
+        n_shards="auto",
+    ).collect()))
+    assert forced == single
