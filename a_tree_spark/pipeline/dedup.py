@@ -638,7 +638,9 @@ def simhash_oracle(text: str) -> int:
 # training-data operator, same as the ANN family.
 
 
-def duplicate_clusters(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_rounds: int = 25, stats: dict | None = None
+) -> DataFrame:
     """Resolve a near-dup pair set into connected components:
     (doc_id, cluster_id) for every doc that appears in >= 1 pair, where
     cluster_id is the MINIMUM doc_id reachable in the pair graph — a
@@ -659,7 +661,12 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
     after every round cuts the iterative lineage (same pattern as the
     kNN loop, spatial/ops.py); on a real cluster use reliable
     checkpoints. Driver-side work is one tiny convergence count per
-    round, never the label set itself."""
+    round, never the label set itself.
+
+    ``stats``, if given, receives {"rounds": n} — the convergence-rate
+    claim is pinned by a 128-node path-graph test (worst diameter per
+    edge count) finishing in <= 9 rounds, where plain neighbor
+    propagation would need 127."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -671,7 +678,9 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         nbr = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "lbl")
@@ -707,6 +716,8 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_rounds} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -590,3 +590,19 @@ def test_canonical_documents_keeps_reps_and_singletons(spark):
     )
     # 10 represents {10,20,30}; 70 represents {70,80}; 40/99 untouched
     assert kept == [10, 40, 70, 99]
+
+
+def test_duplicate_clusters_log_round_convergence(spark):
+    """Pointer jumping must converge in O(log diameter): a 128-node
+    path graph (diameter 127) resolves in <= 9 rounds where plain
+    neighbor propagation needs 127."""
+    from a_tree_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(127)],
+        "doc_a long, doc_b long, hamming long",
+    )
+    stats: dict = {}
+    got = duplicate_clusters(pairs, stats=stats).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == 128
+    assert stats["rounds"] <= 9, stats
