@@ -26,10 +26,12 @@ def main() -> None:
     parser.add_argument("--checkpoint-root", default="/tmp/a_tree_spark_ckpt")
     parser.add_argument("--units", type=int, default=64,
                         help="resume granularity (work units)")
-    parser.add_argument("--shards", type=int, default=1,
+    parser.add_argument("--shards", default="1",
                         help="partition the subscription set into k "
                              "independent forests (10M+ distinct-root "
-                             "scale; see web.pipeline.sharded_root_partials)")
+                             "scale; see web.pipeline.sharded_root_partials)"
+                             " — or 'auto' to derive k from the exact "
+                             "node count (count_forest_nodes)")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -42,6 +44,8 @@ def main() -> None:
     from a_tree_spark.web import build_page_forest, synth_pages_df
     from a_tree_spark.web.pipeline import (
         build_forests,
+        choose_shards,
+        count_forest_nodes,
         fused_match_pages,
         salted_cell_stats,
         shard_subscriptions,
@@ -61,13 +65,19 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
 
-    if args.shards > 1:
+    if args.shards == "auto":
+        subs = standing_page_subscriptions(args.subscriptions)
+        n_shards = choose_shards(count_forest_nodes(subs))
+        print(f"auto-sharding: {n_shards} forest(s)")
+    else:
+        n_shards = int(args.shards)
+    if n_shards > 1:
         # subscription-set sharding: k independent forests; the
         # sub-level match streams union directly (sub ids are globally
         # unique across shards, no root disambiguation needed)
         forests = build_forests(
             shard_subscriptions(
-                standing_page_subscriptions(args.subscriptions), args.shards
+                standing_page_subscriptions(args.subscriptions), n_shards
             )
         )
     else:
