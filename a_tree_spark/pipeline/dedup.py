@@ -655,13 +655,18 @@ def duplicate_clusters(
     "Connected Components in MapReduce and Beyond", SoCC'14), built
     from plain DataFrame joins.
 
-    Scale shape (100 TB): each round is two keyed equi-joins plus one
-    map-side-combined groupBy min, all on the same doc_id key — AQE
-    coalesces the tiny tail as components collapse. localCheckpoint
-    after every round cuts the iterative lineage (same pattern as the
-    kNN loop, spatial/ops.py); on a real cluster use reliable
-    checkpoints. Driver-side work is one tiny convergence count per
-    round, never the label set itself.
+    Scale shape (100 TB): each round is three keyed equi-joins (one
+    neighbor pull, a chained DOUBLE pointer jump — following the label
+    map twice gives L^3 per round, cutting round count ~1.7x for one
+    extra small join) plus one map-side-combined groupBy min, all on
+    the same doc_id key — AQE coalesces the tiny tail as components
+    collapse. localCheckpoint after every round truncates the
+    iterative lineage (a cache-only variant was measured WORSE: plan
+    depth grows per round and planning dominates). Convergence is the
+    decimal label sum — labels only ever decrease, so an unchanged sum
+    IS the fixpoint; the sum scan on checkpointed labels is cheaper
+    than the changed-row join it replaced. On a real cluster use
+    reliable checkpoints. Driver-side state is one number per round.
 
     ``stats``, if given, receives {"rounds": n} — the convergence-rate
     claim is pinned by a 128-node path-graph test (worst diameter per
@@ -681,6 +686,15 @@ def duplicate_clusters(
         .select("id", F.least("id", "mn").alias("lbl"))
         .localCheckpoint()
     )
+    # decimal(38,0): the plain bigint sum can overflow (and wrap to a
+    # false fixpoint) at ~1e12 rows of ~1e12 ids; decimal makes the
+    # monotone-sum convergence test overflow-proof
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -688,13 +702,14 @@ def duplicate_clusters(
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "lbl")
         )
+        jmap = labels.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("jlbl")
+        )
         jump = (
-            labels.join(
-                labels.select(
-                    F.col("id").alias("lbl"), F.col("lbl").alias("jlbl")
-                ),
-                "lbl",
-            ).select("id", F.col("jlbl").alias("lbl"))
+            labels.join(jmap, "lbl")
+            .select("id", F.col("jlbl").alias("lbl"))   # L^2(id)
+            .join(jmap, "lbl")
+            .select("id", F.col("jlbl").alias("lbl"))   # L^3(id)
         )
         new_labels = (
             labels.select("id", "lbl")
@@ -704,17 +719,11 @@ def duplicate_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("lbl", "old"), "id"
-            )
-            .where(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_rounds} rounds"
