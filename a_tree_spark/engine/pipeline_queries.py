@@ -82,6 +82,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_documents(corpus, dedup.duplicate_clusters(pairs))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.curated_corpus(_documents(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_embeddings(spark, sf_dir))
 
@@ -162,6 +166,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
+    "corpus_curation": q_corpus_curation,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -196,6 +201,7 @@ PIPELINE_ORACLES = {
     "dedup_simhash_pairs": dedup.simhash_near_dup_pairs_oracle(),
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_canonical": dedup.canonical_documents_oracle(),
+    "corpus_curation": dedup.curated_corpus_oracle(),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
     "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),

@@ -795,3 +795,61 @@ losers AS (
 SELECT c.doc_id FROM corpus c
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = c.doc_id)
 """.strip()
+
+
+def curated_corpus(documents: DataFrame) -> DataFrame:
+    """End-to-end training-corpus curation — the composition the whole
+    pipeline family exists for: expand (planted dups) -> banded SimHash
+    pairs -> connected components -> keep one canonical doc per cluster
+    -> language + quality gate from text_features. Every stage is an
+    individually oracle-checked operator; this query pins that they
+    COMPOSE (ids line up, filters interact) with its own end-to-end
+    DuckDB hash oracle. Output: surviving high-quality docs with the
+    token count a sampler would weight by.
+
+    100 TB shape: the stages chain without any driver materialization —
+    pair join (bounded buckets) -> log-round label loop -> one
+    anti-join -> one broadcast-able semi-join against the features
+    scan; nothing here widens with corpus size faster than the pair
+    graph itself."""
+    from .text import text_features
+
+    corpus = corpus_with_dups(documents)
+    keep = canonical_documents(
+        corpus, duplicate_clusters(simhash_near_dup_pairs(corpus))
+    )
+    feats = text_features(documents)
+    return (
+        feats.join(keep, "doc_id")
+        .where(F.col("is_quality") & (F.col("lang_id") == "en"))
+        .select("doc_id", "lang_id", "n_bpe_tokens")
+    )
+
+
+def curated_corpus_oracle(
+    table: str = "documents", max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    from .text import text_features_oracle_sql
+
+    pairs_sql = simhash_near_dup_pairs_oracle(table, max_hamming)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+),
+losers AS (
+    SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(lbl) < id
+),
+feats AS ({text_features_oracle_sql(table)})
+SELECT f.doc_id, f.lang_id, f.n_bpe_tokens
+FROM feats f
+WHERE f.is_quality AND f.lang_id = 'en'
+  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = f.doc_id)
+""".strip()

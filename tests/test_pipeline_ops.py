@@ -20,6 +20,7 @@ def test_oracle_queries_nonempty(spark):
     # guard against vacuous green: the interesting ones must return rows
     for name in ["text_features", "dedup_exact", "dedup_ngram_jaccard",
                  "dedup_minhash_lsh", "dedup_simhash_pairs",
+                 "dedup_clusters", "corpus_curation",
                  "ann_brute_force", "ann_lsh", "ann_ivf",
                  "ann_ivf_trained", "media_metadata"]:
         assert PIPELINE_QUERIES[name](spark, SF_DIR).count() > 0, name
@@ -606,3 +607,47 @@ def test_duplicate_clusters_log_round_convergence(spark):
     got = duplicate_clusters(pairs, stats=stats).collect()
     assert all(r["cluster_id"] == 0 for r in got) and len(got) == 128
     assert stats["rounds"] <= 9, stats
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Third oracle for the CC operator (besides the crafted graphs and
+    the DuckDB recursive CTE): a pure-python union-find over seeded
+    random graphs — a different algorithm family, so a shared bug
+    can't hide."""
+    import random
+
+    from a_tree_spark.pipeline.dedup import duplicate_clusters
+
+    rng = random.Random(20260817)
+    for _ in range(3):
+        n = rng.randint(20, 60)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(1000, 1000 + n), 2)))
+                for _ in range(rng.randint(5, 2 * n))
+            }
+        )
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(
+            [(a, b, 0) for a, b in edges],
+            "doc_a long, doc_b long, hamming long",
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == want
