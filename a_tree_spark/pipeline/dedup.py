@@ -679,7 +679,7 @@ def duplicate_clusters(
     ).localCheckpoint()
     # seed with min(self, direct neighbours): star components (the
     # dominant near-dup shape) converge at init and exit after one
-    # verification round instead of two — one fewer 3-job round
+    # verification round instead of two
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("mn"))
