@@ -672,19 +672,48 @@ def duplicate_clusters(
     claim is pinned by a 128-node path-graph test (worst diameter per
     edge count) finishing in <= 9 rounds, where plain neighbor
     propagation would need 127."""
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {
+            int(k)
+            for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+        """localCheckpoint + the storage ids it created, so superseded
+        rounds can be freed eagerly. df.unpersist() does NOT release
+        localCheckpoint blocks (measured: the block survives), and the
+        ContextCleaner only frees them at some later GC — an iterative
+        loop would otherwise hold O(rounds x |V|) checkpoint storage.
+        Single-threaded driver assumption (true here): the ids that
+        appear across the call belong to this checkpoint."""
+        before = _persistent_ids()
+        out = df.localCheckpoint()
+        return out, _persistent_ids() - before
+
+    def _free(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist(False)
+
+    edges, edge_ids = _ckpt_tracked(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+    )
     # seed with min(self, direct neighbours): star components (the
     # dominant near-dup shape) converge at init and exit after one
     # verification round instead of two
-    labels = (
+    labels, label_ids = _ckpt_tracked(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("mn"))
         .select("id", F.least("id", "mn").alias("lbl"))
-        .localCheckpoint()
     )
     # decimal(38,0): the plain bigint sum can overflow (and wrap to a
     # false fixpoint) at ~1e12 rows of ~1e12 ids; decimal makes the
@@ -711,16 +740,16 @@ def duplicate_clusters(
             .join(jmap, "lbl")
             .select("id", F.col("jlbl").alias("lbl"))   # L^3(id)
         )
-        new_labels = (
+        new_labels, new_ids = _ckpt_tracked(
             labels.select("id", "lbl")
             .union(nbr)
             .union(jump)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
         new_sum = _label_sum(new_labels)
-        labels = new_labels
+        _free(label_ids)   # the superseded round's blocks, eagerly
+        labels, label_ids = new_labels, new_ids
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -728,6 +757,7 @@ def duplicate_clusters(
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_rounds} rounds"
         )
+    _free(edge_ids)
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(

@@ -751,10 +751,20 @@ def shard_subscriptions(
     (src/lib.rs:67-87) past what one broadcast forest should hold
     (~10M distinct roots): each shard compiles, broadcasts, and
     matches independently, and the packed (cell, root) partials union
-    before the unchanged downstream aggregation."""
+    before the unchanged downstream aggregation.
+
+    Routing mixes the sub id through splitmix64 first: a plain
+    ``sub_id % k`` resonates with workload template cycles whenever k
+    divides the cycle length (measured on the 100k standing set: k=5
+    put 20,000 of 23,168 distinct expressions in ONE shard — a
+    broadcast as big as the unsharded forest, the exact failure
+    sharding exists to avoid — while the mixed route is ~even at
+    every k)."""
+    from ..pipeline.dedup import _splitmix64
+
     shards: list[dict[int, str]] = [dict() for _ in range(n_shards)]
     for sub_id, expression in subscriptions.items():
-        shards[sub_id % n_shards][sub_id] = expression
+        shards[_splitmix64(sub_id) % n_shards][sub_id] = expression
     return shards
 
 
@@ -841,22 +851,25 @@ def run_pipeline(
     """
     from .synth import synth_pages_df
 
+    subs: dict[int, str] | None = None
+    if n_shards == "auto":
+        subs = standing_page_subscriptions(n_subscriptions)
+        n_shards = choose_shards(count_forest_nodes(subs))
+    else:
+        n_shards = int(n_shards)   # accept CLI/config strings like "4"
+    if n_shards > 1 and strategy != "fused":
+        raise ValueError(
+            "n_shards > 1 (and 'auto') require strategy='fused' — the "
+            "composable strategies have no sharded partial union"
+        )
     if pages is None:
         pages = synth_pages_df(spark, n_pages)
     if strategy == "fused":
         keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
-        if n_shards == "auto":
-            n_shards = choose_shards(
-                count_forest_nodes(
-                    standing_page_subscriptions(n_subscriptions)
-                )
-            )
         if n_shards > 1:
-            forests = build_forests(
-                shard_subscriptions(
-                    standing_page_subscriptions(n_subscriptions), n_shards
-                )
-            )
+            if subs is None:
+                subs = standing_page_subscriptions(n_subscriptions)
+            forests = build_forests(shard_subscriptions(subs, n_shards))
             partials, root_map = sharded_root_partials(keyed, forests, level)
         else:
             forest = build_page_forest(n_subscriptions)

@@ -26,7 +26,19 @@ def main() -> None:
     parser.add_argument("--checkpoint-root", default="/tmp/a_tree_spark_ckpt")
     parser.add_argument("--units", type=int, default=64,
                         help="resume granularity (work units)")
-    parser.add_argument("--shards", default="1",
+    def shards_arg(value: str):
+        # validate at parse time: a typo must fail BEFORE Spark startup
+        # and input synthesis, not minutes later with a raw ValueError
+        if value == "auto":
+            return value
+        try:
+            return int(value)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--shards expects an integer or 'auto', got {value!r}"
+            )
+
+    parser.add_argument("--shards", type=shards_arg, default=1,
                         help="partition the subscription set into k "
                              "independent forests (10M+ distinct-root "
                              "scale; see web.pipeline.sharded_root_partials)"
@@ -65,21 +77,20 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
 
+    subs = None
     if args.shards == "auto":
         subs = standing_page_subscriptions(args.subscriptions)
         n_shards = choose_shards(count_forest_nodes(subs))
         print(f"auto-sharding: {n_shards} forest(s)")
     else:
-        n_shards = int(args.shards)
+        n_shards = args.shards
     if n_shards > 1:
         # subscription-set sharding: k independent forests; the
         # sub-level match streams union directly (sub ids are globally
         # unique across shards, no root disambiguation needed)
-        forests = build_forests(
-            shard_subscriptions(
-                standing_page_subscriptions(args.subscriptions), n_shards
-            )
-        )
+        if subs is None:
+            subs = standing_page_subscriptions(args.subscriptions)
+        forests = build_forests(shard_subscriptions(subs, n_shards))
     else:
         forests = [build_page_forest(args.subscriptions)]
     keyed = pages.withColumn("page_key", F.xxhash64("url")).withColumn(

@@ -566,6 +566,13 @@ def test_auto_shards_matches_explicit(spark, monkeypatch):
     assert auto == single and len(single) > 0
 
     monkeypatch.setattr(wp, "SHARD_TARGET_NODES", 50)
+    # guard against a vacuous pass: the tiny target must actually
+    # engage sharding (a count_forest_nodes/choose_shards regression
+    # to k=1 would make forced == single trivially)
+    k = wp.choose_shards(
+        wp.count_forest_nodes(wp.standing_page_subscriptions(N_SUBS))
+    )
+    assert k > 1
     forced = sorted(map(tuple, wp.run_pipeline(
         spark, N_PAGES, N_SUBS, strategy="fused", pages=pages,
         n_shards="auto",
