@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..pipeline import dedup, multimodal, similarity
+from ..pipeline import dedup, multimodal, sampling, similarity
 from ..pipeline.text import text_features, text_features_oracle_sql
 
 
@@ -84,6 +84,20 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.curated_corpus(_documents(spark, sf_dir))
+
+
+#: driver-pinned mix: one keep-all stratum, two downweighted, the rest
+#: at a background rate — exercises every CASE arm and the default
+SAMPLE_FRACTIONS = {"src0": 1000, "src1": 500, "src2": 250}
+SAMPLE_DEFAULT_PERMILLE = 100
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.hash_stratified_sample(
+        _documents(spark, sf_dir),
+        SAMPLE_FRACTIONS,
+        default_permille=SAMPLE_DEFAULT_PERMILLE,
+    )
 
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +181,7 @@ PIPELINE_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
     "corpus_curation": q_corpus_curation,
+    "corpus_sample": q_corpus_sample,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -202,6 +217,9 @@ PIPELINE_ORACLES = {
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_canonical": dedup.canonical_documents_oracle(),
     "corpus_curation": dedup.curated_corpus_oracle(),
+    "corpus_sample": sampling.hash_stratified_sample_oracle(
+        SAMPLE_FRACTIONS, default_permille=SAMPLE_DEFAULT_PERMILLE
+    ),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
     "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),

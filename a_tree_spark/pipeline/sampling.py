@@ -1,0 +1,84 @@
+"""Deterministic corpus sampling — the 100 TB-safe alternative to rng.
+
+Training-data pipelines downsample by stratum (source, language,
+quality band) when mixing a corpus. At scale the standard technique is
+HASH sampling, not rng sampling: keep a document iff a hash of its
+stable id falls under the stratum's threshold. That makes the sample
+(a) reproducible across runs and engines, (b) join-free and
+shuffle-free (a map-side filter the optimizer can push to the scan),
+and (c) consistent — raising a stratum's rate later KEEPS every
+previously sampled doc (thresholds are nested), which is what
+incremental corpus rebuilds need. Spark's rng-based ``sampleBy`` has
+none of these properties and can't be oracle-checked.
+
+The bucket is the first 16 bits of md5("<doc_id>:<salt>") decoded with
+instr/substr arithmetic — every function here (md5, substr, instr,
+concat, CAST) evaluates identically in Spark SQL and DuckDB, so the
+driver hash-checks the exact sample. 16 bits = per-mille granularity
+with integer-exact thresholds (bucket * 1000 < permille * 65536).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HEX = "0123456789abcdef"
+
+#: bucket space: first 4 md5 hex nibbles -> 0..65535
+BUCKETS = 1 << 16
+
+
+def _bucket_sql(dialect: str, salt: int) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = f"md5(concat(CAST(doc_id AS {cast}), ':', CAST({salt} AS {cast})))"
+
+    def nib(i: int, mult: int) -> str:
+        return f"(instr('{_HEX}', substr({h}, {i}, 1)) - 1) * {mult}"
+
+    return f"({nib(1, 4096)} + {nib(2, 256)} + {nib(3, 16)} + {nib(4, 1)})"
+
+
+def _permille_case(fractions: dict[str, int], default_permille: int) -> str:
+    if not fractions:   # a CASE with zero WHEN arms is a parse error
+        return str(default_permille)
+    arms = " ".join(
+        f"WHEN '{stratum}' THEN {permille}"
+        for stratum, permille in sorted(fractions.items())
+    )
+    return f"(CASE source {arms} ELSE {default_permille} END)"
+
+
+def hash_stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, int],
+    default_permille: int = 0,
+    salt: int = 7,
+) -> DataFrame:
+    """Keep each doc iff bucket(doc_id, salt) < its stratum's permille
+    threshold. ``fractions`` maps ``source`` values to permille
+    (1000 = keep all); unlisted strata use ``default_permille``.
+
+    Plan shape: one deterministic filter expression over the scan —
+    no shuffle, no join, no rng state; Catalyst pushes the stratum
+    CASE + hash compare into the file scan's filter, so at 100 TB the
+    sample costs one read of the pruned columns. Changing ``salt``
+    draws an independent sample; raising a permille strictly grows the
+    previous sample (nested thresholds)."""
+    keep = (
+        f"{_bucket_sql('spark', salt)} * 1000 < "
+        f"{_permille_case(fractions, default_permille)} * {BUCKETS}"
+    )
+    return documents.where(F.expr(keep)).select("doc_id", "source")
+
+
+def hash_stratified_sample_oracle(
+    fractions: dict[str, int],
+    default_permille: int = 0,
+    salt: int = 7,
+    table: str = "documents",
+) -> str:
+    keep = (
+        f"{_bucket_sql('duckdb', salt)} * 1000 < "
+        f"{_permille_case(fractions, default_permille)} * {BUCKETS}"
+    )
+    return f"SELECT doc_id, source FROM {table} WHERE {keep}"

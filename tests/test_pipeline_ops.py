@@ -651,3 +651,42 @@ def test_duplicate_clusters_matches_union_find(spark):
             for r in duplicate_clusters(pairs).collect()
         }
         assert got == want
+
+
+def test_hash_sample_properties(spark):
+    """Deterministic sampling invariants: keep-all keeps everything,
+    permille 0 keeps nothing, thresholds NEST (raising a rate keeps
+    every previously sampled doc), and a different salt draws a
+    different sample."""
+    from a_tree_spark.pipeline.sampling import hash_stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+
+    def ids(fractions, default=0, salt=7):
+        return {
+            r["doc_id"]
+            for r in hash_stratified_sample(
+                docs, fractions, default_permille=default, salt=salt
+            ).collect()
+        }
+
+    assert len(ids({}, default=1000)) == n
+    assert ids({}, default=0) == set()
+    low = ids({"src0": 250}, default=100)
+    high = ids({"src0": 700}, default=100)
+    assert low < high          # nested thresholds, strictly more kept
+    assert ids({}, default=500, salt=7) != ids({}, default=500, salt=8)
+
+
+def test_hash_sample_plan_pushes_filter(spark):
+    """The sample must be a scan-level filter: no Exchange anywhere in
+    the physical plan (the whole point of hash sampling at 100 TB)."""
+    from a_tree_spark.pipeline.sampling import hash_stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        hash_stratified_sample(docs, {"src0": 500}, default_permille=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
