@@ -171,6 +171,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_table(_documents(spark, sf_dir))
+    return multimodal.resize_media(media)
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "dedup_exact": q_dedup_exact,
@@ -190,6 +195,7 @@ PIPELINE_QUERIES = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
     "media_frame_sample": q_frame_sample,
+    "media_resize": q_media_resize,
 }
 
 # The driver's correctness gate always runs at sf0.01, whose driver
@@ -230,4 +236,5 @@ PIPELINE_ORACLES = {
     "media_metadata": multimodal.media_metadata_oracle(),
     "media_features": multimodal.media_features_oracle(),
     "media_frame_sample": multimodal.sample_frames_oracle(),
+    "media_resize": multimodal.resize_media_oracle(),
 }

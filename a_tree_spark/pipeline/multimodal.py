@@ -231,3 +231,56 @@ SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
 FROM media, generate_series(0, {n_frames - 1}) t(i)
 WHERE kind = 'video'
 """.strip()
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """'Image' resize: strided byte downsampling of the payload to
+    out_w*out_h bytes — the codec itself is the documented stub (a real
+    pipeline decodes pixels; the image libs aren't in this container),
+    but the Spark-side shape is the real one: a per-row JVM expression
+    over the binary column, no Python, no shuffle, output surfaced as
+    hex so the driver gets a full value-level DuckDB oracle (same
+    contract as sample_frames). Step clamps to 1 when the target
+    exceeds the payload (the sample_frames ADVICE-r2 lesson)."""
+    out_len = min(out_w * out_h, PAYLOAD_BYTES)
+    step = max(PAYLOAD_BYTES // out_len, 1)
+    pixels = F.expr(
+        f"array_join(transform(sequence(0, {out_len - 1}), "
+        f"i -> hex(substring(payload, 1 + i * {step}, 1))), '')"
+    )
+    return (
+        media.where(F.col("kind") == "image")
+        .select(
+            "doc_id",
+            F.lit(out_w).cast("bigint").alias("width"),
+            F.lit(out_h).cast("bigint").alias("height"),
+            pixels.alias("pixels_hex"),
+        )
+    )
+
+
+def resize_media_oracle(
+    out_w: int = 4, out_h: int = 4, table: str = "documents"
+) -> str:
+    """DuckDB rendering over the hex-definable payload: byte i*step is
+    the 2-char hex slice at 1 + 2*i*step."""
+    out_len = min(out_w * out_h, PAYLOAD_BYTES)
+    step = max(PAYLOAD_BYTES // out_len, 1)
+    return f"""
+WITH media AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           md5(text) || md5('p|' || text) AS hx
+    FROM {table}
+)
+SELECT doc_id, CAST({out_w} AS BIGINT) AS width,
+       CAST({out_h} AS BIGINT) AS height,
+       upper(array_to_string(
+           [substring(hx, 1 + 2 * i * {step}, 2)
+            for i in generate_series(0, {out_len - 1})], '')) AS pixels_hex
+FROM media WHERE kind = 'image'
+""".strip()

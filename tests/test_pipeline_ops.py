@@ -690,3 +690,20 @@ def test_hash_sample_plan_pushes_filter(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_resize_media_step_clamp(spark):
+    """A target larger than the payload must clamp (out_len caps at
+    PAYLOAD_BYTES, step at 1) identically in both engines — the
+    sample_frames ADVICE-r2 divergence, pinned here for resize."""
+    from a_tree_spark.pipeline.multimodal import (
+        media_table,
+        resize_media,
+        resize_media_oracle,
+    )
+
+    media = media_table(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    assert_matches_duckdb(
+        resize_media(media, out_w=16, out_h=16),
+        resize_media_oracle(out_w=16, out_h=16),
+    )
