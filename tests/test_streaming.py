@@ -634,3 +634,36 @@ def test_stream_neardup_matches_batch_pairs(spark, tmp_path):
     }
     assert want_dropped, "fixture must contain near-dup pairs"
     assert dropped == want_dropped
+
+
+def test_hash_sample_is_streamable(spark, tmp_path):
+    """hash_stratified_sample is a stateless deterministic filter, so
+    the SAME operator must run unchanged on a stream and keep exactly
+    the batch sample — the property rng sampling can't have."""
+    from a_tree_spark.pipeline.sampling import hash_stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src_dir = str(tmp_path / "docs_src")
+    docs.write.parquet(src_dir)
+    fractions = {"src0": 1000, "src1": 500}
+
+    batch_ids = {
+        r["doc_id"]
+        for r in hash_stratified_sample(
+            docs, fractions, default_permille=100
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = (
+        hash_stratified_sample(stream, fractions, default_permille=100)
+        .writeStream.format("memory")
+        .queryName("sampled_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM sampled_stream").collect()
+    }
+    assert got == batch_ids and got
