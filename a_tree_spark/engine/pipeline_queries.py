@@ -4,7 +4,7 @@ op — simhash bit twiddling, binary feature extraction)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..pipeline import dedup, multimodal, sampling, similarity
 from ..pipeline.text import text_features, text_features_oracle_sql
@@ -157,6 +157,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the CC operator is pair-source-agnostic: same resolution over the
+    # embedding-cosine near-dup graph as over the SimHash one
+    pairs = q_embedding_near_dup(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata(_documents(spark, sf_dir))
 
@@ -192,6 +203,7 @@ PIPELINE_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,   # frozen-codebook serving (oracle'd)
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
     "media_frame_sample": q_frame_sample,
@@ -232,6 +244,16 @@ PIPELINE_ORACLES = {
     "ann_ivf_trained": _ann_ivf_trained_oracle(),
     "embedding_near_dup": similarity.embedding_near_dup_oracle(
         planes_per_band=similarity.neardup_planes_per_band(GATE_NEARDUP_ROWS)
+    ),
+    "embedding_dup_clusters": dedup.clusters_oracle_from_pairs(
+        similarity.embedding_near_dup_oracle(
+            planes_per_band=similarity.neardup_planes_per_band(
+                GATE_NEARDUP_ROWS
+            )
+        ),
+        col_a="id_a",
+        col_b="id_b",
+        out_id="vec_id",
     ),
     "media_metadata": multimodal.media_metadata_oracle(),
     "media_features": multimodal.media_features_oracle(),

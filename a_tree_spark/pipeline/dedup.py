@@ -765,29 +765,41 @@ def duplicate_clusters(
     )
 
 
-def duplicate_clusters_oracle(
-    table: str = "documents", max_hamming: int = SIMHASH_MAX_HAMMING
+def clusters_oracle_from_pairs(
+    pairs_sql: str,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    out_id: str = "doc_id",
 ) -> str:
-    """DuckDB mirror: recursive-CTE transitive closure over the same
-    banded SimHash pair set, min reachable id per node. Exponential in
-    component size in the worst case — fine at oracle scale, which is
-    exactly why the Spark side uses log-round label propagation
-    instead."""
-    pairs_sql = simhash_near_dup_pairs_oracle(table, max_hamming)
+    """DuckDB mirror for duplicate_clusters over ANY pair query:
+    recursive-CTE transitive closure, min reachable id per node.
+    Exponential in component size in the worst case — fine at oracle
+    scale, which is exactly why the Spark side uses log-round label
+    propagation instead. The pair source is pluggable (SimHash pairs,
+    embedding near-dup pairs, ...) because the operator is
+    pair-source-agnostic."""
     return f"""
-WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+WITH RECURSIVE pairs AS (SELECT {col_a} AS pa, {col_b} AS pb FROM ({pairs_sql}) p),
 edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    SELECT pa AS src, pb AS dst FROM pairs
     UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs
+    SELECT pb AS src, pa AS dst FROM pairs
 ),
 reach(id, lbl) AS (
     SELECT DISTINCT src, src FROM edges
     UNION
     SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
 )
-SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+SELECT id AS {out_id}, MIN(lbl) AS cluster_id FROM reach GROUP BY id
 """.strip()
+
+
+def duplicate_clusters_oracle(
+    table: str = "documents", max_hamming: int = SIMHASH_MAX_HAMMING
+) -> str:
+    return clusters_oracle_from_pairs(
+        simhash_near_dup_pairs_oracle(table, max_hamming)
+    )
 
 
 def canonical_documents(corpus: DataFrame, clusters: DataFrame) -> DataFrame:
