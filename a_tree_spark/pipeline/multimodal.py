@@ -34,6 +34,19 @@ FROM {table}
 """.strip()
 
 
+#: the ONE hex-side definition of the synthetic media payload, shared
+#: by every oracle that reads bytes (features / frames / resize) — the
+#: kind derivation and payload recipe must never fork across oracles
+_MEDIA_HEX_CTE = """
+SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           md5(text) || md5('p|' || text) AS hx
+    FROM {table}
+""".strip()
+
+
 def media_table(documents: DataFrame) -> DataFrame:
     """Deterministic opaque payloads (32 bytes of md5 material) + typed
     metadata — the engine-side media source."""
@@ -165,14 +178,7 @@ def media_features_oracle(table: str = "documents") -> str:
     SUM/MIN/MAX/XOR per doc. Division by 32 (a power of two) is IEEE-
     exact, so even f0 hashes identically."""
     return f"""
-WITH media AS (
-    SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind,
-           md5(text) || md5('p|' || text) AS hx
-    FROM {table}
-),
+WITH media AS ({_MEDIA_HEX_CTE.format(table=table)}),
 bytes AS (
     SELECT doc_id, kind, i,
            (strpos('0123456789abcdef', substring(hx, 2 * i - 1, 1)) - 1) * 16
@@ -218,14 +224,7 @@ def sample_frames_oracle(n_frames: int = 4, table: str = "documents") -> str:
     # oracle would diverge (ADVICE.md round 2)
     step = max(PAYLOAD_BYTES // n_frames, 1)
     return f"""
-WITH media AS (
-    SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind,
-           md5(text) || md5('p|' || text) AS hx
-    FROM {table}
-)
+WITH media AS ({_MEDIA_HEX_CTE.format(table=table)})
 SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
        upper(substring(hx, 1 + 2 * i * {step}, 8)) AS frame_hex
 FROM media, generate_series(0, {n_frames - 1}) t(i)
@@ -243,7 +242,10 @@ def resize_media(
     over the binary column, no Python, no shuffle, output surfaced as
     hex so the driver gets a full value-level DuckDB oracle (same
     contract as sample_frames). Step clamps to 1 when the target
-    exceeds the payload (the sample_frames ADVICE-r2 lesson)."""
+    exceeds the payload (the sample_frames ADVICE-r2 lesson);
+    ``n_bytes`` reports the ACTUAL emitted byte count — when the
+    clamp fires it is smaller than width*height, and consumers must
+    size buffers from n_bytes, never from the requested dims."""
     out_len = min(out_w * out_h, PAYLOAD_BYTES)
     step = max(PAYLOAD_BYTES // out_len, 1)
     pixels = F.expr(
@@ -256,6 +258,7 @@ def resize_media(
             "doc_id",
             F.lit(out_w).cast("bigint").alias("width"),
             F.lit(out_h).cast("bigint").alias("height"),
+            F.lit(out_len).cast("bigint").alias("n_bytes"),
             pixels.alias("pixels_hex"),
         )
     )
@@ -269,16 +272,10 @@ def resize_media_oracle(
     out_len = min(out_w * out_h, PAYLOAD_BYTES)
     step = max(PAYLOAD_BYTES // out_len, 1)
     return f"""
-WITH media AS (
-    SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS kind,
-           md5(text) || md5('p|' || text) AS hx
-    FROM {table}
-)
+WITH media AS ({_MEDIA_HEX_CTE.format(table=table)})
 SELECT doc_id, CAST({out_w} AS BIGINT) AS width,
        CAST({out_h} AS BIGINT) AS height,
+       CAST({out_len} AS BIGINT) AS n_bytes,
        upper(array_to_string(
            [substring(hx, 1 + 2 * i * {step}, 2)
             for i in generate_series(0, {out_len - 1})], '')) AS pixels_hex

@@ -11,11 +11,13 @@ previously sampled doc (thresholds are nested), which is what
 incremental corpus rebuilds need. Spark's rng-based ``sampleBy`` has
 none of these properties and can't be oracle-checked.
 
-The bucket is the first 16 bits of md5("<doc_id>:<salt>") decoded with
-instr/substr arithmetic — every function here (md5, substr, instr,
-concat, CAST) evaluates identically in Spark SQL and DuckDB, so the
-driver hash-checks the exact sample. 16 bits = per-mille granularity
-with integer-exact thresholds (bucket * 1000 < permille * 65536).
+The bucket is the first 16 bits of md5("<doc_id>:<salt>"). The two
+engines decode it differently (Spark: one ``conv(substr(md5,1,4))`` —
+a single digest per row on the scan filter; DuckDB: instr/substr
+nibble arithmetic, since DuckDB has no base-16 conv) but the VALUE is
+identical, which is all the hash check needs. 16 bits = per-mille
+granularity with integer-exact thresholds
+(bucket * 1000 < permille * 65536).
 """
 
 from __future__ import annotations
@@ -31,6 +33,10 @@ BUCKETS = 1 << 16
 def _bucket_sql(dialect: str, salt: int) -> str:
     cast = "STRING" if dialect == "spark" else "VARCHAR"
     h = f"md5(concat(CAST(doc_id AS {cast}), ':', CAST({salt} AS {cast})))"
+    if dialect == "spark":
+        # one digest per row: this predicate runs at the scan on the
+        # 100 TB path, so don't lean on codegen CSE to dedupe 4 md5s
+        return f"CAST(conv(substr({h}, 1, 4), 16, 10) AS BIGINT)"
 
     def nib(i: int, mult: int) -> str:
         return f"(instr('{_HEX}', substr({h}, {i}, 1)) - 1) * {mult}"
@@ -39,10 +45,17 @@ def _bucket_sql(dialect: str, salt: int) -> str:
 
 
 def _permille_case(fractions: dict[str, int], default_permille: int) -> str:
+    for stratum, permille in {**fractions, "": default_permille}.items():
+        if not (0 <= int(permille) <= 1000):
+            raise ValueError(
+                f"permille for {stratum or 'default'!r} must be in "
+                f"[0, 1000], got {permille}"
+            )
     if not fractions:   # a CASE with zero WHEN arms is a parse error
         return str(default_permille)
     arms = " ".join(
-        f"WHEN '{stratum}' THEN {permille}"
+        # '' -> ''''; stratum values are data, not SQL
+        f"WHEN '{stratum.replace(chr(39), chr(39) * 2)}' THEN {permille}"
         for stratum, permille in sorted(fractions.items())
     )
     return f"(CASE source {arms} ELSE {default_permille} END)"

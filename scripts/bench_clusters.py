@@ -49,7 +49,7 @@ def main() -> None:
         (base + F.col("c") * chain_len + F.col("i")).alias("doc_a"),
         (base + F.col("c") * chain_len + F.col("i") + 1).alias("doc_b"),
     )
-    pairs = stars.union(chains).withColumn("hamming", F.lit(0))
+    pairs = stars.union(chains)
     pairs = pairs.repartition(32).localCheckpoint()  # freeze input outside timing
     n_edges = pairs.count()
     n_nodes = n_stars * star_size + n_chains * chain_len
@@ -71,6 +71,8 @@ def main() -> None:
         "n_components": n_components, "correct": ok,
     }))
     spark.stop()
+    # a wrong run must not be recordable as scale evidence
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

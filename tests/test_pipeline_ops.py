@@ -20,7 +20,8 @@ def test_oracle_queries_nonempty(spark):
     # guard against vacuous green: the interesting ones must return rows
     for name in ["text_features", "dedup_exact", "dedup_ngram_jaccard",
                  "dedup_minhash_lsh", "dedup_simhash_pairs",
-                 "dedup_clusters", "corpus_curation",
+                 "dedup_clusters", "corpus_curation", "corpus_sample",
+                 "embedding_dup_clusters", "media_resize",
                  "ann_brute_force", "ann_lsh", "ann_ivf",
                  "ann_ivf_trained", "media_metadata"]:
         assert PIPELINE_QUERIES[name](spark, SF_DIR).count() > 0, name
