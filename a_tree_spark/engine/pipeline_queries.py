@@ -100,6 +100,17 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one stratum bigger than its budget (partial rate), one capped at
+#: keep-all, the rest unbudgeted (dropped) — every derivation arm
+TOKEN_BUDGETS = {"src0": 10**9, "src2": 800}
+
+
+def q_corpus_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.token_budget_sample(
+        _documents(spark, sf_dir), TOKEN_BUDGETS
+    )
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_embeddings(spark, sf_dir))
 
@@ -198,6 +209,7 @@ PIPELINE_QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "corpus_curation": q_corpus_curation,
     "corpus_sample": q_corpus_sample,
+    "corpus_budget_mix": q_corpus_budget_mix,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -238,6 +250,7 @@ PIPELINE_ORACLES = {
     "corpus_sample": sampling.hash_stratified_sample_oracle(
         SAMPLE_FRACTIONS, default_permille=SAMPLE_DEFAULT_PERMILLE
     ),
+    "corpus_budget_mix": sampling.token_budget_sample_oracle(TOKEN_BUDGETS),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),
     "ann_ivf": similarity.ivf_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),

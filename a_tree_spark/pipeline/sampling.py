@@ -95,3 +95,87 @@ def hash_stratified_sample_oracle(
         f"{_permille_case(fractions, default_permille)} * {BUCKETS}"
     )
     return f"SELECT doc_id, source FROM {table} WHERE {keep}"
+
+
+# ------------------------------------------------- token-budget mixing
+
+
+def _budget_case(budgets: dict[str, int]) -> str:
+    arms = " ".join(
+        f"WHEN '{stratum.replace(chr(39), chr(39) * 2)}' THEN {int(budget)}"
+        for stratum, budget in sorted(budgets.items())
+    )
+    return f"(CASE source {arms} ELSE 0 END)"
+
+
+def token_budget_sample(
+    documents: DataFrame, budgets: dict[str, int], salt: int = 7
+) -> DataFrame:
+    """Mix a corpus to per-stratum TOKEN budgets: measure each
+    stratum's total BPE-ish token count, derive the integer permille
+    that hits the budget (floor division, so the EXPECTED sampled
+    token count never overshoots the budget; capped at 1000 when the
+    stratum is smaller than its budget), and keep docs with the same
+    nested hash-bucket rule as hash_stratified_sample.
+    Strata without a budget are dropped (budget 0). This is the
+    standard corpus-mixing step of a training-data pipeline, expressed
+    so both the RATE DERIVATION and the SAMPLE are deterministic and
+    oracle-checkable — integer arithmetic end to end, no rng.
+
+    Plan shape: one map-side-combined groupBy(source) over the token
+    expression (a scan aggregate), then a broadcast join of the tiny
+    (stratum, permille) table back onto the corpus scan with the
+    bucket filter — two passes over the data, zero wide shuffles of
+    the corpus itself. At 100 TB the token totals come once per crawl
+    and are cheap to persist; the second pass is the same scan-level
+    filter as hash_stratified_sample."""
+    from .text import bpe_token_count_sql
+
+    for stratum, budget in budgets.items():
+        if int(budget) < 0:
+            raise ValueError(
+                f"budget for {stratum!r} must be >= 0, got {budget}"
+            )
+    permille = (
+        documents.groupBy("source")
+        .agg(
+            F.sum(F.expr(bpe_token_count_sql("spark"))).alias("n_tokens")
+        )
+        .select(
+            "source",
+            F.expr(
+                "CAST(CASE WHEN n_tokens = 0 THEN 1000 ELSE "
+                f"least(1000, (CAST({_budget_case(budgets)} AS BIGINT) "
+                "* 1000) div n_tokens) END AS BIGINT)"
+            ).alias("permille"),
+        )
+    )
+    keep = f"{_bucket_sql('spark', salt)} * 1000 < permille * {BUCKETS}"
+    return (
+        documents.join(F.broadcast(permille), "source")
+        .where(F.expr(keep))
+        .select("doc_id", "source", "permille")
+    )
+
+
+def token_budget_sample_oracle(
+    budgets: dict[str, int], salt: int = 7, table: str = "documents"
+) -> str:
+    from .text import bpe_token_count_sql
+
+    return f"""
+WITH toks AS (
+    SELECT source, SUM({bpe_token_count_sql('duckdb')}) AS n_tokens
+    FROM {table} GROUP BY source
+),
+pm AS (
+    SELECT source,
+           CAST(CASE WHEN n_tokens = 0 THEN 1000
+                ELSE least(1000, (CAST({_budget_case(budgets)} AS BIGINT)
+                           * 1000) // n_tokens) END AS BIGINT) AS permille
+    FROM toks
+)
+SELECT d.doc_id, d.source, pm.permille
+FROM {table} d JOIN pm USING (source)
+WHERE {_bucket_sql('duckdb', salt)} * 1000 < pm.permille * {BUCKETS}
+""".strip()

@@ -708,3 +708,30 @@ def test_resize_media_step_clamp(spark):
         resize_media(media, out_w=16, out_h=16),
         resize_media_oracle(out_w=16, out_h=16),
     )
+
+
+def test_token_budget_sample_rates(spark):
+    """The derived permille must equal the python recompute from the
+    stratum token totals (floor, capped, dropped-when-unbudgeted), and
+    budgeted-out strata must not appear."""
+    from a_tree_spark.pipeline.sampling import token_budget_sample
+    from a_tree_spark.pipeline.text import bpe_token_count_sql
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.expr(bpe_token_count_sql("spark"))).alias("n"))
+        .collect()
+    }
+    budgets = {"src0": 10**9, "src2": 800}
+    got = token_budget_sample(docs, budgets).collect()
+    seen = {(r["source"], r["permille"]) for r in got}
+    for source, permille in seen:
+        want = min(1000, budgets[source] * 1000 // totals[source])
+        assert permille == want, (source, permille, want)
+    assert {s for s, _ in seen} <= set(budgets)  # unbudgeted dropped
+    assert ("src0", 1000) in seen                # cap arm exercised
+    assert any(p < 1000 for _, p in seen)        # partial arm exercised
