@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_polygon_pandas": SQ.q_point_in_polygon_pandas,
         "knn": SQ.q_knn,
         "raster_vector": SQ.q_raster_vector,
+        "cell_ring_stats": SQ.q_cell_ring_stats,
+        "cell_time_rollup": SQ.q_cell_time_rollup,
+        "asof_join": SQ.q_asof_join,
     }
     out.update(PIPELINE_QUERIES)
     return out
@@ -134,5 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "point_in_polygon_pandas": pip,
         "knn": SQ.oracle_knn(),
         "raster_vector": SQ.oracle_raster_vector(),
+        "cell_ring_stats": SQ.oracle_cell_ring_stats(),
+        "cell_time_rollup": SQ.oracle_cell_time_rollup(),
+        "asof_join": SQ.oracle_asof_join(),
     })
     return out

@@ -198,8 +198,15 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(media)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import heavy_hitters
+
+    return heavy_hitters(_documents(spark, sf_dir))
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
+    "heavy_hitters": q_heavy_hitters,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -237,8 +244,15 @@ def _ann_ivf_trained_oracle() -> str:
 
     return similarity.ivf_served_oracle(FROZEN_CODEBOOK)
 
+def _heavy_hitters_oracle() -> str:
+    from ..pipeline.text import heavy_hitters_oracle_sql
+
+    return heavy_hitters_oracle_sql()
+
+
 PIPELINE_ORACLES = {
     "text_features": text_features_oracle_sql(),
+    "heavy_hitters": _heavy_hitters_oracle(),
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup.minhash_lsh_oracle(n_bands=dedup.minhash_bands()),

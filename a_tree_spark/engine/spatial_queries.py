@@ -211,3 +211,118 @@ SELECT shape_id, COUNT(*) AS n_tiles, CAST(SUM(tile_value) AS BIGINT) AS sum_val
 FROM cover JOIN raster USING (cell_id)
 GROUP BY shape_id
 """.strip()
+
+
+# ------------------------------------------- k-ring neighbor smoothing
+
+
+RING_RADIUS = 1
+
+
+def q_cell_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal smoothing of the per-cell stats over the radius-1 disk —
+    the H3 grid_disk hotspot-smoothing idiom (SURVEY.md §2.4 spatial
+    family, beyond-reference)."""
+    from ..spatial.ops import ring_smooth
+
+    return ring_smooth(
+        q_cell_agg(spark, sf_dir),
+        value_cols=["n_points", "n_users"],
+        radius=RING_RADIUS,
+        level=JOIN_LEVEL,
+    )
+
+
+def oracle_cell_ring_stats() -> str:
+    from ..spatial.ops import ring_smooth_oracle_sql
+
+    return ring_smooth_oracle_sql(
+        oracle_cell_agg(),
+        value_cols=["n_points", "n_users"],
+        radius=RING_RADIUS,
+        level=JOIN_LEVEL,
+        stats_cols=["cell_id", "n_points", "n_users", "first_event"],
+    )
+
+
+# --------------------------------------- tumbling-window cell rollup
+
+
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "ts",
+        "value",
+        f"{cell_id_sql(POINT_LAT_SQL, POINT_LON_SQL, JOIN_LEVEL)} AS cell_id",
+    )
+
+
+def q_cell_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned daily window x cell rollup (hypertable-rollup
+    idiom); the streaming twin (streaming/rollup_stream.py) shares this
+    exact plan over a watermarked source."""
+    from ..pipeline.temporal import windowed_rollup
+
+    return windowed_rollup(rollup_events(spark, sf_dir), "1 day")
+
+
+def oracle_cell_time_rollup() -> str:
+    from ..pipeline.temporal import windowed_rollup_oracle_sql
+
+    events_sql = (
+        f"SELECT event_id, ts, value, "
+        f"{cell_id_sql(POINT_LAT_SQL, POINT_LON_SQL, JOIN_LEVEL)} AS cell_id "
+        f"FROM events"
+    )
+    return windowed_rollup_oracle_sql(events_sql, "day")
+
+
+# ------------------------------------------------------- as-of join
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user backward as-of join: each purchase event picks the most
+    recent prior click (inclusive at equal ts, greatest-event_id tie
+    break). Engine = single-shuffle union-tag sweep; oracle = the
+    inequality-join spec form."""
+    from ..pipeline.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").selectExpr(
+        "event_id", "user_id", "ts",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id",
+        right_vals={"cents": "cents"},
+    )
+    # no-prior-click rows surface as -1 (not NULL): the driver's value
+    # hash needs NULL-free columns, and -1 is outside both id/cents
+    # domains so the sentinel is lossless
+    return joined.select(
+        "event_id", "user_id",
+        F.expr("coalesce(asof_event_id, -1)").alias("asof_event_id"),
+        F.expr("coalesce(asof_cents, -1)").alias("asof_cents"),
+    )
+
+
+def oracle_asof_join() -> str:
+    from ..pipeline.temporal import asof_join_oracle_sql
+
+    inner = asof_join_oracle_sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'",
+        "SELECT event_id, user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'click'",
+        on="user_id",
+        left_cols=["event_id", "user_id"],
+        right_vals={"cents": "cents"},
+    )
+    return (
+        "SELECT event_id, user_id, "
+        "coalesce(asof_event_id, -1) AS asof_event_id, "
+        "coalesce(asof_cents, -1) AS asof_cents "
+        f"FROM ({inner})"
+    )

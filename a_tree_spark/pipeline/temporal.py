@@ -1,0 +1,191 @@
+"""Temporal operators: as-of join and windowed time rollups.
+
+Two operators a web-scale event/page pipeline needs that plain SQL
+joins express badly at scale:
+
+- ``asof_join``: for every left row, the single most recent right row
+  at-or-before its timestamp, per key. The naive SQL form is an
+  inequality join (left x right per key) followed by a top-1 — O(n*m)
+  per key. The Spark-native form here is the union-tag pattern: one
+  shuffle on the key, one per-key ordered sweep with a running
+  ``last(..., ignorenulls)`` window — O((n+m) log(n+m)) per key and no
+  join blow-up. The DuckDB oracle keeps the inequality-join form
+  (exact, fine at gate scale), pinning that the two formulations agree.
+
+- ``windowed_rollup``: epoch-aligned tumbling-window x cell rollup of
+  an event stream (the "hypertable rollup" idiom). Batch form is a
+  single map-side-combined groupBy; the streaming twin in
+  ``streaming/rollup_stream.py`` shares this module's column
+  definitions so stream/batch parity is pinned by construction.
+
+Both stay entirely in Catalyst expressions — no Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# cents-exact value sum: ROUND first because value*100 lands off-integer
+# in IEEE doubles (12.31*100 = 1230.9999...); after ROUND the double is
+# integral so the BIGINT cast agrees between Spark (truncating) and
+# DuckDB (rounding). Values are non-negative, so HALF_UP (Spark) and
+# half-away-from-zero (DuckDB) agree too.
+SUM_CENTS_SQL = "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_id: str = "event_id",
+    right_vals: dict[str, str] | None = None,
+) -> DataFrame:
+    """For each left row: the most recent right row with
+    ``right.ts <= left.ts`` for the same ``on`` key (ASOF backward
+    join; ties among right rows break to the greatest ``right_id``).
+    Left rows with no prior right row keep NULLs.
+
+    Output: all left columns + ``asof_<right_id>`` + one
+    ``asof_<alias>`` per entry of ``right_vals`` (alias -> right col).
+
+    Scale shape: both sides are tagged and unioned, then a single
+    shuffle partitions by ``on`` and sorts by (ts, side, id); a running
+    ``last(ignorenulls=True)`` carries the latest right attributes
+    forward into each left row. Right rows sort BEFORE left rows at an
+    equal timestamp (side 0 < 1), giving inclusive <= semantics. One
+    shuffle, zero joins, no per-key quadratic work — the standard
+    distributed as-of formulation (Flink temporal join / Pandas
+    merge_asof do the same sweep).
+    """
+    right_vals = right_vals or {}
+    carried = [f"asof_{right_id}"] + [f"asof_{a}" for a in right_vals]
+    left_cols = left.columns
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.col(right_id).alias(f"asof_{right_id}"),
+        *[F.col(c).alias(f"asof_{a}") for a, c in right_vals.items()],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, ts_col)],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_id].dataType).alias(f"asof_{right_id}"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{a}")
+          for a, c in right_vals.items()],
+        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
+    )
+    # all carried right attributes travel as ONE struct so they always
+    # come from the SAME right row (independent per-column last() could
+    # mix rows if a right value column were NULL)
+    merged = r.unionByName(l).withColumn(
+        "_packed",
+        F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in carried])),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col(f"asof_{right_id}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *[F.col(c) for c in left_cols],
+        F.col("_side"),
+        F.last("_packed", ignorenulls=True).over(w).alias("_p"),
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_p.{c}").alias(c) for c in carried],
+    )
+
+
+def asof_join_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    on: str,
+    left_cols: list[str],
+    ts_col: str = "ts",
+    right_id: str = "event_id",
+    right_vals: dict[str, str] | None = None,
+) -> str:
+    """DuckDB oracle in the inequality-join + top-1 form (the semantics
+    spec; exponentially more expensive than the engine's sweep but
+    exact at gate scale). LEFT JOIN keeps no-match rows as NULLs, and
+    the ORDER BY (r.ts DESC, r.id DESC) mirrors the engine's
+    greatest-id tie-break."""
+    right_vals = right_vals or {}
+    keep = ", ".join(f"l.{c}" for c in left_cols)
+    rv_sel = "".join(f", r.{c} AS asof_{a}" for a, c in right_vals.items())
+    part = ", ".join(f"l.{c}" for c in left_cols)
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql})
+SELECT * EXCLUDE (rn) FROM (
+    SELECT {keep}, r.{right_id} AS asof_{right_id}{rv_sel},
+           ROW_NUMBER() OVER (
+               PARTITION BY {part}
+               ORDER BY r.{ts_col} DESC, r.{right_id} DESC
+           ) AS rn
+    FROM l LEFT JOIN r ON l.{on} = r.{on} AND r.{ts_col} <= l.{ts_col}
+) WHERE rn = 1
+""".strip()
+
+
+def rollup_aggs() -> list:
+    """Shared aggregate list for batch and streaming rollups — exact
+    integer aggregates only, so stream==batch==oracle bit-for-bit."""
+    return [
+        F.count("*").alias("n_events"),
+        F.expr(SUM_CENTS_SQL).alias("sum_cents"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    ]
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "cell_id",
+) -> DataFrame:
+    """Tumbling-window x key rollup. Epoch-aligned windows (Spark's
+    `window()` semantics) reported as BIGINT epoch seconds so the
+    value is engine-neutral (no timestamp serialization in the hash).
+    One shuffle keyed by (window, key), partial agg map-side."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col(key_col),
+        )
+        .agg(*rollup_aggs())
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_cents",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def windowed_rollup_oracle_sql(
+    events_sql: str,
+    trunc_unit: str = "day",
+    key_col: str = "cell_id",
+) -> str:
+    """DuckDB mirror. Spark's `window(ts, '1 day')` start equals
+    date_trunc('day', ts) under the UTC session both engines pin
+    (epoch-aligned tumbling windows; 1970-01-01 is a day boundary)."""
+    return f"""
+WITH ev AS ({events_sql})
+SELECT CAST(epoch(date_trunc('{trunc_unit}', ts)) AS BIGINT) AS window_start,
+       {key_col},
+       COUNT(*) AS n_events,
+       {SUM_CENTS_SQL} AS sum_cents,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM ev GROUP BY 1, 2
+""".strip()

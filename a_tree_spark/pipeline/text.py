@@ -166,3 +166,40 @@ def text_features_oracle_sql(table: str = "documents") -> str:
         f"SELECT {', '.join(select)} FROM "
         f"(SELECT *, string_split(text, ' ') AS w FROM {table})"
     )
+
+
+# ------------------------------------------------------- heavy hitters
+
+HEAVY_HITTERS_K = 50
+
+
+def heavy_hitters(documents: DataFrame, k: int = HEAVY_HITTERS_K) -> DataFrame:
+    """Exact corpus-wide top-k tokens (vocabulary heavy hitters), the
+    first question asked of any new training corpus. Deterministic
+    total order (count DESC, token ASC) so the top-k SET is unique.
+
+    Scale shape: explode -> two-stage hash aggregate (partial map-side
+    combine bounds the shuffle by VOCABULARY, not token count), then
+    `orderBy().limit(k)` which Spark executes as TakeOrderedAndProject —
+    a per-partition partial top-k merged on the driver, NOT a global
+    sort. No single-partition stage anywhere. For vocabularies too
+    large to aggregate exactly, the sketch alternative is count-min +
+    candidate re-count; at web scale the exact two-stage form is still
+    the default because the combine output is vocabulary-bounded.
+    """
+    tokens = documents.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+
+
+def heavy_hitters_oracle_sql(
+    table: str = "documents", k: int = HEAVY_HITTERS_K
+) -> str:
+    return (
+        f"SELECT token, COUNT(*) AS cnt FROM ("
+        f"SELECT unnest(string_split(text, ' ')) AS token FROM {table}"
+        f") WHERE token <> '' GROUP BY token "
+        f"ORDER BY cnt DESC, token LIMIT {k}"
+    )

@@ -251,3 +251,104 @@ def raster_vector_join(
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+
+
+def ring_smooth(
+    cell_stats: DataFrame,
+    value_cols: list[str],
+    radius: int = 1,
+    level: int = DEFAULT_LEVEL,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Focal (k-ring) smoothing over a per-cell stats table — the H3
+    `grid_disk` neighborhood-aggregation idiom (e.g. hotspot smoothing)
+    on the GLQ grid: for every OCCUPIED cell, sum each value column over
+    all occupied cells within Chebyshev distance ``radius`` (edge-
+    clipped, no wraparound — cells at the grid border simply have fewer
+    neighbors, mirroring `disk_cells`).
+
+    Plan shape (scale-first): scatter-gather with zero Python.
+      1. each occupied cell scatters its values to the (2r+1)^2 cells of
+         its disk via two `explode(sequence(-r, r))` — the fan-out runs
+         AFTER per-cell aggregation, so it is bounded by the number of
+         DISTINCT cells, never by corpus rows;
+      2. receivers aggregate (one shuffle keyed by cell_id, map-side
+         combined);
+      3. an inner join back to the input keeps only occupied focal
+         cells — both sides are post-aggregation cell tables and share
+         the cell_id key, so at 100 TB this is a co-partitioned (or
+         broadcast, the smoothed side is ≤ input size × 1) join.
+
+    Output: the input columns plus ``ring_<col>`` sums and
+    ``n_ring_cells`` (occupied disk size, incl. the cell itself).
+    """
+    n = grid_size(level)
+    scattered = (
+        cell_stats.select(
+            F.col(cell_col),
+            F.expr(f"{cell_col} DIV {n}").alias("_y"),
+            F.expr(f"{cell_col} % {n}").alias("_x"),
+            *[F.col(c) for c in value_cols],
+        )
+        .withColumn("_dy", F.explode(F.expr(f"sequence({-radius}, {radius})")))
+        .withColumn("_dx", F.explode(F.expr(f"sequence({-radius}, {radius})")))
+        .withColumn("_ny", F.col("_y") + F.col("_dy"))
+        .withColumn("_nx", F.col("_x") + F.col("_dx"))
+        .filter(
+            (F.col("_ny") >= 0) & (F.col("_ny") < n)
+            & (F.col("_nx") >= 0) & (F.col("_nx") < n)
+        )
+        .select(
+            (F.col("_ny") * n + F.col("_nx")).alias("_target"),
+            *[F.col(c) for c in value_cols],
+        )
+    )
+    smoothed = scattered.groupBy("_target").agg(
+        F.count("*").alias("n_ring_cells"),
+        *[
+            F.sum(c).cast("bigint").alias(f"ring_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        cell_stats.join(smoothed, cell_stats[cell_col] == smoothed["_target"])
+        .drop("_target")
+    )
+
+
+def ring_smooth_oracle_sql(
+    stats_sql: str,
+    value_cols: list[str],
+    radius: int = 1,
+    level: int = DEFAULT_LEVEL,
+    cell_col: str = "cell_id",
+    stats_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of `ring_smooth` over a stats subquery — identical
+    integer scatter arithmetic (`//` is DuckDB's integer division; the
+    Spark side uses DIV)."""
+    n = grid_size(level)
+    vals = ", ".join(value_cols)
+    ring_aggs = ", ".join(
+        f"CAST(SUM({c}) AS BIGINT) AS ring_{c}" for c in value_cols
+    )
+    keep = ", ".join(f"s.{c}" for c in (stats_cols or [cell_col] + value_cols))
+    ring_out = ", ".join(f"r.ring_{c}" for c in value_cols)
+    return f"""
+WITH stats AS ({stats_sql}),
+scattered AS (
+    SELECT (({cell_col} // {n}) + dy.g) * {n} + (({cell_col} % {n}) + dx.g)
+               AS target, {vals}
+    FROM stats,
+         generate_series({-radius}, {radius}) dy(g),
+         generate_series({-radius}, {radius}) dx(g)
+    WHERE ({cell_col} // {n}) + dy.g BETWEEN 0 AND {n - 1}
+      AND ({cell_col} % {n}) + dx.g BETWEEN 0 AND {n - 1}
+),
+smoothed AS (
+    SELECT target, COUNT(*) AS n_ring_cells, {ring_aggs}
+    FROM scattered GROUP BY target
+)
+SELECT {keep}, r.n_ring_cells, {ring_out}
+FROM stats s JOIN smoothed r ON s.{cell_col} = r.target
+""".strip()

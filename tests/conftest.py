@@ -54,7 +54,10 @@ def _normalize(value):
 
 
 def rows_of(records) -> list[tuple]:
-    return sorted(tuple(_normalize(v) for v in row) for row in records)
+    # key=repr: total order even for rows mixing NULLs with values
+    return sorted(
+        (tuple(_normalize(v) for v in row) for row in records), key=repr
+    )
 
 
 def assert_matches_duckdb(spark_df, oracle_sql: str, sf_dir: str = SF_DIR):

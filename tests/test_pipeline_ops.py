@@ -735,3 +735,45 @@ def test_token_budget_sample_rates(spark):
     assert {s for s, _ in seen} <= set(budgets)  # unbudgeted dropped
     assert ("src0", 1000) in seen                # cap arm exercised
     assert any(p < 1000 for _, p in seen)        # partial arm exercised
+
+
+# ---------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_returns_min_k_vocab(spark):
+    # oracle equality rides on test_pipeline_query_matches_oracle
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.engine.pipeline_queries import q_heavy_hitters
+    from a_tree_spark.pipeline.text import HEAVY_HITTERS_K
+
+    vocab = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "").distinct().count()
+    )
+    assert q_heavy_hitters(spark, SF_DIR).count() == min(HEAVY_HITTERS_K, vocab)
+
+
+def test_heavy_hitters_plan_is_partial_topk(spark):
+    """TakeOrderedAndProject (distributed partial top-k), not a global
+    sort; and the aggregate has a map-side partial stage."""
+    from a_tree_spark.engine.pipeline_queries import q_heavy_hitters
+
+    plan = (
+        q_heavy_hitters(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_heavy_hitters_tiebreak_deterministic(spark):
+    """Equal-count tokens at the k boundary resolve lexicographically."""
+    from a_tree_spark.pipeline.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "b b a a d c"), (2, "e")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in heavy_hitters(docs, k=3).collect()]
+    assert sorted(rows) == [("a", 2), ("b", 2), ("c", 1)]

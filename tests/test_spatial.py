@@ -124,3 +124,118 @@ def test_cell_encode_is_jvm_only(spark):
 def test_pip_sql_refine_is_jvm_only(spark):
     plan = SQ.q_point_in_polygon(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------- ring smoothing
+
+
+def test_q_cell_ring_stats(spark):
+    df = SQ.q_cell_ring_stats(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_cell_ring_stats())
+
+
+def test_ring_smooth_single_cell_identity(spark):
+    """A lone occupied cell's smoothed value is its own (n_ring_cells=1)
+    and an adjacent pair sums both ways (n_ring_cells=2)."""
+    from a_tree_spark.spatial.ops import ring_smooth
+
+    n = 1 << 6
+    stats = spark.createDataFrame(
+        [(5 * n + 5, 10), (5 * n + 6, 3), (40 * n + 40, 7)],
+        "cell_id long, v long",
+    )
+    out = {
+        r["cell_id"]: (r["n_ring_cells"], r["ring_v"])
+        for r in ring_smooth(stats, ["v"], radius=1, level=6).collect()
+    }
+    assert out[5 * n + 5] == (2, 13)
+    assert out[5 * n + 6] == (2, 13)
+    assert out[40 * n + 40] == (1, 7)
+
+
+def test_ring_smooth_edge_clipping(spark):
+    """Corner cell (0,0): disk clipped to 4 in-grid cells, none wrap."""
+    from a_tree_spark.spatial.ops import ring_smooth
+
+    n = 1 << 6
+    # corner + its wrap-around "neighbors" if arithmetic were unclipped
+    stats = spark.createDataFrame(
+        [(0, 1), (n - 1, 100), ((n - 1) * n, 100)],  # (0,0), (0,n-1), (n-1,0)
+        "cell_id long, v long",
+    )
+    out = {
+        r["cell_id"]: (r["n_ring_cells"], r["ring_v"])
+        for r in ring_smooth(stats, ["v"], radius=1, level=6).collect()
+    }
+    assert out[0] == (1, 1)  # wrap rows must NOT leak into the corner
+
+
+def test_ring_smooth_is_jvm_only(spark):
+    plan = (
+        SQ.q_cell_ring_stats(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- windowed rollup
+
+
+def test_q_cell_time_rollup(spark):
+    df = SQ.q_cell_time_rollup(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_cell_time_rollup())
+
+
+def test_rollup_window_starts_are_day_aligned(spark):
+    rows = SQ.q_cell_time_rollup(spark, SF_DIR).select("window_start").collect()
+    assert all(r["window_start"] % 86400 == 0 for r in rows)
+
+
+# ------------------------------------------------------ as-of join
+
+
+def test_q_asof_join(spark):
+    df = SQ.q_asof_join(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_asof_join())
+
+
+def test_asof_join_semantics_handcrafted(spark):
+    """Inclusive <=, greatest-id tie-break, NULL before any right row,
+    per-key isolation — pinned on a 2-user fixture."""
+    from datetime import datetime
+
+    from a_tree_spark.pipeline.temporal import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(1)), (4, 20, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(2), 7), (101, 10, t(2), 8), (102, 10, t(4), 9),
+         (103, 20, t(9), 1), (104, 30, t(0), 5)],
+        "event_id long, user_id long, ts timestamp, cents long",
+    )
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_cents"])
+        for r in asof_join(
+            left, right, on="user_id", right_vals={"cents": "cents"}
+        ).collect()
+    }
+    assert out[1] == (102, 9)      # latest prior
+    assert out[2] == (101, 8)      # equal-ts inclusive, greatest id wins
+    assert out[3] == (None, None)  # nothing prior
+    assert out[4] == (103, 1)      # other key, inclusive at its own ts
+    assert len(out) == 4           # user 30's rows never leak
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The sweep formulation: exactly zero join operators and one
+    Exchange (the per-key sort partitioning) in the physical plan."""
+    df = SQ.q_asof_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
