@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_ring_stats": SQ.q_cell_ring_stats,
         "cell_time_rollup": SQ.q_cell_time_rollup,
         "asof_join": SQ.q_asof_join,
+        "sessionize": SQ.q_sessionize,
     }
     out.update(PIPELINE_QUERIES)
     return out
@@ -140,5 +141,6 @@ def oracle_sql() -> dict[str, str]:
         "cell_ring_stats": SQ.oracle_cell_ring_stats(),
         "cell_time_rollup": SQ.oracle_cell_time_rollup(),
         "asof_join": SQ.oracle_asof_join(),
+        "sessionize": SQ.oracle_sessionize(),
     })
     return out

@@ -287,3 +287,19 @@ PIPELINE_ORACLES = {
     "media_frame_sample": multimodal.sample_frames_oracle(),
     "media_resize": multimodal.resize_media_oracle(),
 }
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import length_quantiles
+
+    return length_quantiles(_documents(spark, sf_dir))
+
+
+def _length_quantiles_oracle() -> str:
+    from ..pipeline.text import length_quantiles_oracle_sql
+
+    return length_quantiles_oracle_sql()
+
+
+PIPELINE_QUERIES["doc_length_quantiles"] = q_length_quantiles
+PIPELINE_ORACLES["doc_length_quantiles"] = _length_quantiles_oracle()

@@ -326,3 +326,23 @@ def oracle_asof_join() -> str:
         "coalesce(asof_cents, -1) AS asof_cents "
         f"FROM ({inner})"
     )
+
+
+# --------------------------------------------------- sessionization
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based user sessions over the events table (12h gap). The
+    streaming twin (session_window) is parity-pinned in pytest."""
+    from ..pipeline.temporal import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return sessionize(events)
+
+
+def oracle_sessionize() -> str:
+    from ..pipeline.temporal import sessionize_oracle_sql
+
+    return sessionize_oracle_sql("SELECT event_id, user_id, ts FROM events")

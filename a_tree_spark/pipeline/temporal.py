@@ -189,3 +189,97 @@ SELECT CAST(epoch(date_trunc('{trunc_unit}', ts)) AS BIGINT) AS window_start,
        MAX(event_id) AS last_event
 FROM ev GROUP BY 1, 2
 """.strip()
+
+
+# ------------------------------------------------------ sessionization
+
+
+SESSION_GAP_SECONDS = 12 * 3600
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong
+    to the same session while the gap to the PREVIOUS event is
+    <= gap_seconds; a larger gap starts a new session. One row per
+    session: (key, session_idx 1-based, session_start/end epoch
+    seconds, duration, n_events, first/last event id).
+
+    Plan: the classic two-window formulation — lag() flags session
+    starts, a running sum numbers them, then one groupBy collapses to
+    sessions. All three steps share the same partitioning key, so
+    Spark plans ONE Exchange (window and groupBy reuse it; the test
+    pins single-Exchange). Timestamp arithmetic happens on epoch
+    DOUBLE seconds (microsecond-exact in IEEE double through 2100+),
+    the one form Spark and DuckDB compute identically.
+
+    The streaming twin is Spark's native session_window
+    (streaming/session_stream.py) — same gap rule with watermarked
+    state; parity pinned in tests/test_streaming.py.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ can't cast straight to DOUBLE; hop through TIMESTAMP (identity
+    # under the pinned UTC session) for epoch seconds
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    flagged = events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | (sec - F.lag(sec).over(w) > float(gap_seconds)),
+            1,
+        ).otherwise(0).alias("is_new"),
+    ).withColumn("session_idx", F.sum("is_new").over(wrun))
+    ep = f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE)"
+    return flagged.groupBy(key_col, "session_idx").agg(
+        F.expr(f"CAST(FLOOR(MIN({ep})) AS BIGINT)").alias("session_start"),
+        F.expr(f"CAST(FLOOR(MAX({ep})) AS BIGINT)").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.min(id_col).alias("first_event"),
+        F.max(id_col).alias("last_event"),
+    ).withColumn(
+        "duration_s", (F.col("session_end") - F.col("session_start"))
+    )
+
+
+def sessionize_oracle_sql(
+    events_sql: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB mirror of the lag/cumsum formulation. epoch(ts) is the
+    same epoch-seconds DOUBLE Spark's CAST(ts AS DOUBLE) yields."""
+    return f"""
+WITH e AS ({events_sql}),
+flagged AS (
+    SELECT {key_col}, {ts_col}, {id_col},
+           CASE WHEN LAG(epoch({ts_col})) OVER w IS NULL
+                  OR epoch({ts_col}) - LAG(epoch({ts_col})) OVER w > {gap_seconds}
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+),
+numbered AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+        ROWS UNBOUNDED PRECEDING
+    ) AS session_idx FROM flagged
+)
+SELECT {key_col}, session_idx,
+       CAST(FLOOR(MIN(epoch({ts_col}))) AS BIGINT) AS session_start,
+       CAST(FLOOR(MAX(epoch({ts_col}))) AS BIGINT) AS session_end,
+       COUNT(*) AS n_events,
+       MIN({id_col}) AS first_event,
+       MAX({id_col}) AS last_event,
+       CAST(FLOOR(MAX(epoch({ts_col}))) AS BIGINT)
+         - CAST(FLOOR(MIN(epoch({ts_col}))) AS BIGINT) AS duration_s
+FROM numbered GROUP BY {key_col}, session_idx
+""".strip()

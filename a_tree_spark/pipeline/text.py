@@ -203,3 +203,70 @@ def heavy_hitters_oracle_sql(
         f") WHERE token <> '' GROUP BY token "
         f"ORDER BY cnt DESC, token LIMIT {k}"
     )
+
+
+# ------------------------------------------- per-group order statistics
+
+QUANTILE_PROBS = [0.5, 0.9, 0.99]
+
+
+def length_quantiles(documents: DataFrame, probs: list[float] = None) -> DataFrame:
+    """Exact per-language document-length quantiles as ORDER STATISTICS
+    under the SQL-standard percentile_disc rule: quantile p = the first
+    sorted element whose cumulative distribution i/n >= p, i.e. 1-based
+    rank ceil(n*p) — empirically DuckDB's quantile_disc rule too
+    (probed across (n, p) grids incl. float-edge n*p values), which is
+    what the oracle calls NATIVELY, so engine and oracle are genuinely
+    independent implementations of the same definition. The rank is
+    computed in pure INTEGER arithmetic ((n*P + 99) DIV 100 with
+    percent P — exact ceil with no IEEE n*p drift).
+
+    Plan: one window pass ranks lengths per language (row_number +
+    count over the same partition — one Exchange, reused), then a
+    conditional aggregation picks the ranked elements. Integer in,
+    integer out — no interpolation, no float drift. Per-group sort at
+    100 TB: the partition key is the group (bounded cardinality), so
+    skewed groups are the limit; for heavy groups the same statistic
+    can be taken on a uniform sample or via two-phase candidate
+    selection, but exact ranking is the reference semantics here.
+    """
+    from pyspark.sql import Window
+
+    probs = probs or QUANTILE_PROBS
+    w = Window.partitionBy("lang").orderBy(F.length("text"), F.col("doc_id"))
+    wcnt = Window.partitionBy("lang")
+    ranked = documents.select(
+        F.col("lang"),
+        F.length("text").alias("len"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wcnt).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for p in probs:
+        pct = int(round(p * 100))
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1), F.expr(f"(n * {pct} + 99) DIV 100")
+                    ),
+                    F.col("len"),
+                )
+            ).cast("bigint").alias(f"p{pct}")
+        )
+    return ranked.groupBy("lang").agg(*aggs)
+
+
+def length_quantiles_oracle_sql(
+    table: str = "documents", probs: list[float] = None
+) -> str:
+    probs = probs or QUANTILE_PROBS
+    cols = ", ".join(
+        f"CAST(quantile_disc(length(text), {p}) AS BIGINT) "
+        f"AS p{int(round(p * 100))}"
+        for p in probs
+    )
+    return (
+        f"SELECT lang, COUNT(*) AS n_docs, {cols} FROM {table} GROUP BY lang"
+    )

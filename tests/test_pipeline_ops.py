@@ -777,3 +777,47 @@ def test_heavy_hitters_tiebreak_deterministic(spark):
     )
     rows = [tuple(r) for r in heavy_hitters(docs, k=3).collect()]
     assert sorted(rows) == [("a", 2), ("b", 2), ("c", 1)]
+
+
+# ------------------------------------------ length quantiles (order stats)
+
+
+def test_quantile_rank_rule_matches_duckdb_exhaustively():
+    """The engine's integer rank formula max(1, (n*P+99) DIV 100) must
+    equal DuckDB's native quantile_disc rank for EVERY group size the
+    gate could see — exhaustive n in 1..400 x the three probs."""
+    import duckdb
+
+    from a_tree_spark.pipeline.text import QUANTILE_PROBS
+
+    con = duckdb.connect()
+    for p in QUANTILE_PROBS:
+        pct = int(round(p * 100))
+        rows = con.execute(
+            f"""
+            SELECT n, quantile_disc(x, {p}) AS got
+            FROM (SELECT n, x FROM generate_series(1, 400) t(n),
+                  generate_series(1, 400) u(x) WHERE x <= n)
+            GROUP BY n
+            """
+        ).fetchall()
+        for n, got in rows:
+            want = max(1, (n * pct + 99) // 100)
+            assert got == want, (n, p, got, want)
+    con.close()
+
+
+def test_length_quantiles_handcrafted(spark):
+    """p50 of 4 elements = 2nd (CDF 0.5 >= 0.5); p99 = max element."""
+    from a_tree_spark.pipeline.text import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 10, "en"), (2, "a" * 20, "en"),
+         (3, "a" * 30, "en"), (4, "a" * 40, "en"),
+         (5, "a" * 7, "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: (r["n_docs"], r["p50"], r["p90"], r["p99"])
+           for r in length_quantiles(docs).collect()}
+    assert out["en"] == (4, 20, 40, 40)
+    assert out["de"] == (1, 7, 7, 7)

@@ -239,3 +239,53 @@ def test_asof_join_single_shuffle_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------- sessionization
+
+
+def test_q_sessionize(spark):
+    df = SQ.q_sessionize(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_sessionize())
+
+
+def test_sessionize_semantics_handcrafted(spark):
+    """Gap strictly-greater splits; boundary-equal gap keeps the
+    session; sessions are per-key; idx is 1-based per key."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    gap = 600
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + timedelta(seconds=gap)),          # == gap: same session
+        (3, 10, t0 + timedelta(seconds=2 * gap + 1)),  # > gap: new session
+        (4, 20, t0 + timedelta(seconds=1)),            # other key
+    ]
+    out = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["first_event"],
+                                           r["last_event"], r["duration_s"])
+        for r in sessionize(
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts timestamp"
+            ),
+            gap_seconds=gap,
+        ).collect()
+    }
+    assert out[(10, 1)] == (2, 1, 2, gap)
+    assert out[(10, 2)] == (1, 3, 3, 0)
+    assert out[(20, 1)] == (1, 4, 4, 0)
+    assert len(out) == 3
+
+
+def test_sessionize_single_exchange(spark):
+    """lag-flag window, cumsum window, and the session groupBy all key
+    on user_id — Spark must plan exactly ONE hash Exchange."""
+    plan = (
+        SQ.q_sessionize(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -751,3 +751,72 @@ def test_windowed_rollup_stream_append_emits_only_closed_windows(spark, tmp_path
     assert (jan1, 1, 100) in rows and (jan2, 1, 200) in rows
     # the day-9 window is still open (watermark hasn't passed its end)
     assert all(ws <= jan2 for ws, _, _ in rows)
+
+
+def test_session_stream_closed_sessions_equal_batch(spark, tmp_path):
+    """session_window streaming == batch lag/cumsum sessionize on the
+    sessions the watermark has CLOSED: feed two Jan days of multi-event
+    sessions, then a far-future sentinel event that advances the
+    watermark past every Jan session + gap; the append sink must then
+    hold exactly the batch sessions (sentinel's own still open)."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import sessionize
+    from a_tree_spark.streaming.session_stream import sessionize_stream
+
+    gap = 3600  # 1h sessions for a compact fixture
+    t0 = datetime(2024, 1, 1, 8)
+    jan = []
+    eid = 0
+    for user in (1, 2, 3):
+        for s in range(2):                 # two sessions per user
+            start = t0 + timedelta(hours=12 * s + user)
+            for k in range(3):             # three events within gap
+                jan.append((eid, user, start + timedelta(seconds=k * (gap - 5))))
+                eid += 1
+    sentinel = [(9999, 1, datetime(2024, 3, 1))]
+    schema = "event_id long, user_id long, ts timestamp"
+
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+    spark.createDataFrame(jan, schema).coalesce(1).write.parquet(
+        str(src_dir / "b0.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    sessions = sessionize_stream(stream, gap_seconds=gap, watermark="1 hour")
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+            str(src_dir / "b1.parquet")
+        )
+        query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events, "
+            "first_event, last_event, duration_s FROM sess_append"
+        ).collect()
+    )
+    batch = sessionize(
+        spark.createDataFrame(jan, schema), gap_seconds=gap
+    ).select(
+        "user_id", "session_start", "session_end", "n_events",
+        "first_event", "last_event", "duration_s",
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(want) == 6  # 3 users x 2 sessions, all closed
