@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_time_rollup": SQ.q_cell_time_rollup,
         "asof_join": SQ.q_asof_join,
         "sessionize": SQ.q_sessionize,
+        "trajectory_stats": SQ.q_trajectory_stats,
     }
     out.update(PIPELINE_QUERIES)
     return out
@@ -142,5 +143,6 @@ def oracle_sql() -> dict[str, str]:
         "cell_time_rollup": SQ.oracle_cell_time_rollup(),
         "asof_join": SQ.oracle_asof_join(),
         "sessionize": SQ.oracle_sessionize(),
+        "trajectory_stats": SQ.oracle_trajectory_stats(),
     })
     return out

@@ -346,3 +346,30 @@ def oracle_sessionize() -> str:
     from ..pipeline.temporal import sessionize_oracle_sql
 
     return sessionize_oracle_sql("SELECT event_id, user_id, ts FROM events")
+
+
+# -------------------------------------------------- trajectory stats
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user movement trajectories over the event points (ordered by
+    event time): path length + bbox in exact micro-degrees."""
+    from ..spatial.ops import trajectory_stats
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        f"{POINT_LAT_SQL} AS lat",
+        f"{POINT_LON_SQL} AS lon",
+    )
+    return trajectory_stats(pts)
+
+
+def oracle_trajectory_stats() -> str:
+    from ..spatial.ops import trajectory_stats_oracle_sql
+
+    return trajectory_stats_oracle_sql(
+        f"SELECT event_id, user_id, ts, {POINT_LAT_SQL} AS lat, "
+        f"{POINT_LON_SQL} AS lon FROM events"
+    )

@@ -352,3 +352,79 @@ smoothed AS (
 SELECT {keep}, r.n_ring_cells, {ring_out}
 FROM stats s JOIN smoothed r ON s.{cell_col} = r.target
 """.strip()
+
+
+# segment length in integer micro-degrees: FLOOR(sqrt(.)*1e6) of IEEE
+# doubles both engines compute bit-identically (sqrt is correctly
+# rounded per IEEE-754), so the per-user SUM is an order-independent
+# integer — the same exactness trick the rollup's cents-sum uses
+def _segment_micro_sql(lat: str, lon: str, plat: str, plon: str) -> str:
+    d2 = (
+        f"(({lat} - {plat}) * ({lat} - {plat})"
+        f" + ({lon} - {plon}) * ({lon} - {plon}))"
+    )
+    return f"CAST(FLOOR(SQRT({d2}) * 1000000) AS BIGINT)"
+
+
+def trajectory_stats(
+    points: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key movement trajectory over (lat, lon) points ordered by
+    event time: point count, total path length (planar-degree metric,
+    integer micro-degrees — see `spatial/cells.py` for the declared
+    geometry), and the bounding box in micro-degrees.
+
+    Plan: one lag() window per key computes segment lengths, one
+    groupBy collapses to trajectories — both keyed on ``key_col``, so
+    Spark plans a single Exchange (same shape as `sessionize`). At
+    100 TB the per-key ordered pass is the canonical trajectory
+    formulation; hot keys bound the task, not total volume.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    seg = F.expr(_segment_micro_sql("lat", "lon", "_plat", "_plon"))
+    segs = points.select(
+        F.col(key_col),
+        F.col("lat"),
+        F.col("lon"),
+        F.lag("lat").over(w).alias("_plat"),
+        F.lag("lon").over(w).alias("_plon"),
+    ).withColumn(
+        "seg_micro",
+        F.when(F.col("_plat").isNull(), F.lit(0).cast("bigint")).otherwise(seg),
+    )
+    return segs.groupBy(key_col).agg(
+        F.count("*").alias("n_points"),
+        F.sum("seg_micro").cast("bigint").alias("path_len_micro"),
+        F.expr("CAST(FLOOR(MIN(lat) * 1000000) AS BIGINT)").alias("min_lat_micro"),
+        F.expr("CAST(FLOOR(MAX(lat) * 1000000) AS BIGINT)").alias("max_lat_micro"),
+        F.expr("CAST(FLOOR(MIN(lon) * 1000000) AS BIGINT)").alias("min_lon_micro"),
+        F.expr("CAST(FLOOR(MAX(lon) * 1000000) AS BIGINT)").alias("max_lon_micro"),
+    )
+
+
+def trajectory_stats_oracle_sql(
+    points_sql: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    seg = _segment_micro_sql("lat", "lon", "_plat", "_plon")
+    return f"""
+WITH pts AS ({points_sql}),
+segs AS (
+    SELECT {key_col}, lat, lon,
+           LAG(lat) OVER w AS _plat, LAG(lon) OVER w AS _plon
+    FROM pts WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+)
+SELECT {key_col}, COUNT(*) AS n_points,
+       CAST(SUM(CASE WHEN _plat IS NULL THEN 0 ELSE {seg} END) AS BIGINT)
+           AS path_len_micro,
+       CAST(FLOOR(MIN(lat) * 1000000) AS BIGINT) AS min_lat_micro,
+       CAST(FLOOR(MAX(lat) * 1000000) AS BIGINT) AS max_lat_micro,
+       CAST(FLOOR(MIN(lon) * 1000000) AS BIGINT) AS min_lon_micro,
+       CAST(FLOOR(MAX(lon) * 1000000) AS BIGINT) AS max_lon_micro
+FROM segs GROUP BY {key_col}
+""".strip()

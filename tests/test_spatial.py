@@ -289,3 +289,52 @@ def test_sessionize_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# -------------------------------------------------- trajectory stats
+
+
+def test_q_trajectory_stats(spark):
+    df = SQ.q_trajectory_stats(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_trajectory_stats())
+
+
+def test_trajectory_stats_handcrafted(spark):
+    """3-4-5 triangle legs: path length is the sum of both segments in
+    exact micro-degrees; bbox covers all points; single-point user has
+    zero path."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.spatial.ops import trajectory_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0, 0.0, 0.0),
+        (2, 10, t0 + timedelta(minutes=1), 3.0, 4.0),   # dist 5
+        (3, 10, t0 + timedelta(minutes=2), 3.0, 0.0),   # dist 4
+        (4, 20, t0, 7.25, -1.5),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in trajectory_stats(
+            spark.createDataFrame(
+                rows,
+                "event_id long, user_id long, ts timestamp, lat double, lon double",
+            )
+        ).collect()
+    }
+    assert out[10]["n_points"] == 3
+    assert out[10]["path_len_micro"] == 9_000_000
+    assert (out[10]["min_lat_micro"], out[10]["max_lat_micro"]) == (0, 3_000_000)
+    assert (out[10]["min_lon_micro"], out[10]["max_lon_micro"]) == (0, 4_000_000)
+    assert out[20]["n_points"] == 1 and out[20]["path_len_micro"] == 0
+    assert out[20]["min_lon_micro"] == -1_500_000
+
+
+def test_trajectory_single_exchange(spark):
+    plan = (
+        SQ.q_trajectory_stats(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
