@@ -204,9 +204,16 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_documents(spark, sf_dir))
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import length_quantiles
+
+    return length_quantiles(_documents(spark, sf_dir))
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "heavy_hitters": q_heavy_hitters,
+    "doc_length_quantiles": q_length_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -250,9 +257,16 @@ def _heavy_hitters_oracle() -> str:
     return heavy_hitters_oracle_sql()
 
 
+def _length_quantiles_oracle() -> str:
+    from ..pipeline.text import length_quantiles_oracle_sql
+
+    return length_quantiles_oracle_sql()
+
+
 PIPELINE_ORACLES = {
     "text_features": text_features_oracle_sql(),
     "heavy_hitters": _heavy_hitters_oracle(),
+    "doc_length_quantiles": _length_quantiles_oracle(),
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup.minhash_lsh_oracle(n_bands=dedup.minhash_bands()),
@@ -288,18 +302,3 @@ PIPELINE_ORACLES = {
     "media_resize": multimodal.resize_media_oracle(),
 }
 
-
-def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.text import length_quantiles
-
-    return length_quantiles(_documents(spark, sf_dir))
-
-
-def _length_quantiles_oracle() -> str:
-    from ..pipeline.text import length_quantiles_oracle_sql
-
-    return length_quantiles_oracle_sql()
-
-
-PIPELINE_QUERIES["doc_length_quantiles"] = q_length_quantiles
-PIPELINE_ORACLES["doc_length_quantiles"] = _length_quantiles_oracle()

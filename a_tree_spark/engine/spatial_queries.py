@@ -239,9 +239,9 @@ def oracle_cell_ring_stats() -> str:
     return ring_smooth_oracle_sql(
         oracle_cell_agg(),
         value_cols=["n_points", "n_users"],
+        stats_cols=["cell_id", "n_points", "n_users", "first_event"],
         radius=RING_RADIUS,
         level=JOIN_LEVEL,
-        stats_cols=["cell_id", "n_points", "n_users", "first_event"],
     )
 
 

@@ -25,12 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# cents-exact value sum: ROUND first because value*100 lands off-integer
-# in IEEE doubles (12.31*100 = 1230.9999...); after ROUND the double is
-# integral so the BIGINT cast agrees between Spark (truncating) and
-# DuckDB (rounding). Values are non-negative, so HALF_UP (Spark) and
-# half-away-from-zero (DuckDB) agree too.
-SUM_CENTS_SQL = "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+def sum_cents_sql(value_col: str = "value") -> str:
+    """cents-exact value sum: ROUND first because value*100 lands
+    off-integer in IEEE doubles (12.31*100 = 1230.9999...); after ROUND
+    the double is integral so the BIGINT cast agrees between Spark
+    (truncating) and DuckDB (rounding). Values are non-negative, so
+    HALF_UP (Spark) and half-away-from-zero (DuckDB) agree too."""
+    return f"CAST(SUM(CAST(ROUND({value_col} * 100) AS BIGINT)) AS BIGINT)"
+
+
+SUM_CENTS_SQL = sum_cents_sql()
 
 
 def asof_join(
@@ -61,6 +65,11 @@ def asof_join(
     right_vals = right_vals or {}
     carried = [f"asof_{right_id}"] + [f"asof_{a}" for a in right_vals]
     left_cols = left.columns
+    # a NULL-ts right row has no position on the time axis: drop it,
+    # matching the oracle's join predicate (r.ts <= l.ts is never true
+    # for NULL) — otherwise NULLS FIRST ordering would sort it before
+    # every left row and last(ignorenulls) could carry it spuriously
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(on),
         F.col(ts_col),
@@ -115,7 +124,12 @@ def asof_join_oracle_sql(
     spec; exponentially more expensive than the engine's sweep but
     exact at gate scale). LEFT JOIN keeps no-match rows as NULLs, and
     the ORDER BY (r.ts DESC, r.id DESC) mirrors the engine's
-    greatest-id tie-break."""
+    greatest-id tie-break.
+
+    PRECONDITION: ``left_cols`` must uniquely key the left relation
+    (the ROW_NUMBER partitions by them, so duplicate left rows would
+    collapse to one here while the engine emits one row per input
+    row). Driver usage includes the unique event_id."""
     right_vals = right_vals or {}
     keep = ", ".join(f"l.{c}" for c in left_cols)
     rv_sel = "".join(f", r.{c} AS asof_{a}" for a, c in right_vals.items())
@@ -133,14 +147,14 @@ SELECT * EXCLUDE (rn) FROM (
 """.strip()
 
 
-def rollup_aggs() -> list:
+def rollup_aggs(value_col: str = "value", id_col: str = "event_id") -> list:
     """Shared aggregate list for batch and streaming rollups — exact
     integer aggregates only, so stream==batch==oracle bit-for-bit."""
     return [
         F.count("*").alias("n_events"),
-        F.expr(SUM_CENTS_SQL).alias("sum_cents"),
-        F.min("event_id").alias("first_event"),
-        F.max("event_id").alias("last_event"),
+        F.expr(sum_cents_sql(value_col)).alias("sum_cents"),
+        F.min(id_col).alias("first_event"),
+        F.max(id_col).alias("last_event"),
     ]
 
 
@@ -149,6 +163,8 @@ def windowed_rollup(
     window_duration: str = "1 day",
     ts_col: str = "ts",
     key_col: str = "cell_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Tumbling-window x key rollup. Epoch-aligned windows (Spark's
     `window()` semantics) reported as BIGINT epoch seconds so the
@@ -159,7 +175,7 @@ def windowed_rollup(
             F.window(F.col(ts_col), window_duration).alias("win"),
             F.col(key_col),
         )
-        .agg(*rollup_aggs())
+        .agg(*rollup_aggs(value_col, id_col))
         .select(
             F.unix_timestamp(F.col("win.start")).alias("window_start"),
             F.col(key_col),
@@ -175,6 +191,8 @@ def windowed_rollup_oracle_sql(
     events_sql: str,
     trunc_unit: str = "day",
     key_col: str = "cell_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
 ) -> str:
     """DuckDB mirror. Spark's `window(ts, '1 day')` start equals
     date_trunc('day', ts) under the UTC session both engines pin
@@ -184,9 +202,9 @@ WITH ev AS ({events_sql})
 SELECT CAST(epoch(date_trunc('{trunc_unit}', ts)) AS BIGINT) AS window_start,
        {key_col},
        COUNT(*) AS n_events,
-       {SUM_CENTS_SQL} AS sum_cents,
-       MIN(event_id) AS first_event,
-       MAX(event_id) AS last_event
+       {sum_cents_sql(value_col)} AS sum_cents,
+       MIN({id_col}) AS first_event,
+       MAX({id_col}) AS last_event
 FROM ev GROUP BY 1, 2
 """.strip()
 
@@ -195,6 +213,21 @@ FROM ev GROUP BY 1, 2
 
 
 SESSION_GAP_SECONDS = 12 * 3600
+
+
+def session_aggs(ts_col: str = "ts", id_col: str = "event_id") -> list:
+    """Aggregates shared by batch `sessionize` and the streaming
+    `session_window` twin — ONE definition so stream/batch parity is by
+    construction, not by keeping two copies in sync. Epoch floors on
+    the NTZ->TIMESTAMP hop (identity under the pinned UTC session)."""
+    ep = f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE)"
+    return [
+        F.expr(f"CAST(FLOOR(MIN({ep})) AS BIGINT)").alias("session_start"),
+        F.expr(f"CAST(FLOOR(MAX({ep})) AS BIGINT)").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.min(id_col).alias("first_event"),
+        F.max(id_col).alias("last_event"),
+    ]
 
 
 def sessionize(
@@ -237,13 +270,8 @@ def sessionize(
             1,
         ).otherwise(0).alias("is_new"),
     ).withColumn("session_idx", F.sum("is_new").over(wrun))
-    ep = f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE)"
     return flagged.groupBy(key_col, "session_idx").agg(
-        F.expr(f"CAST(FLOOR(MIN({ep})) AS BIGINT)").alias("session_start"),
-        F.expr(f"CAST(FLOOR(MAX({ep})) AS BIGINT)").alias("session_end"),
-        F.count("*").alias("n_events"),
-        F.min(id_col).alias("first_event"),
-        F.max(id_col).alias("last_event"),
+        *session_aggs(ts_col, id_col)
     ).withColumn(
         "duration_s", (F.col("session_end") - F.col("session_start"))
     )

@@ -319,20 +319,23 @@ def ring_smooth(
 def ring_smooth_oracle_sql(
     stats_sql: str,
     value_cols: list[str],
+    stats_cols: list[str],
     radius: int = 1,
     level: int = DEFAULT_LEVEL,
     cell_col: str = "cell_id",
-    stats_cols: list[str] | None = None,
 ) -> str:
     """DuckDB mirror of `ring_smooth` over a stats subquery — identical
     integer scatter arithmetic (`//` is DuckDB's integer division; the
-    Spark side uses DIV)."""
+    Spark side uses DIV). ``stats_cols`` must list ALL columns of
+    ``stats_sql`` in engine output order: the engine keeps every input
+    column after its join, so a wrong guess here would be a silent
+    schema mismatch — required, no default."""
     n = grid_size(level)
     vals = ", ".join(value_cols)
     ring_aggs = ", ".join(
         f"CAST(SUM({c}) AS BIGINT) AS ring_{c}" for c in value_cols
     )
-    keep = ", ".join(f"s.{c}" for c in (stats_cols or [cell_col] + value_cols))
+    keep = ", ".join(f"s.{c}" for c in stats_cols)
     ring_out = ", ".join(f"r.ring_{c}" for c in value_cols)
     return f"""
 WITH stats AS ({stats_sql}),

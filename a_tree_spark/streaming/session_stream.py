@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..pipeline.temporal import SESSION_GAP_SECONDS
+from ..pipeline.temporal import SESSION_GAP_SECONDS, session_aggs
 
 
 def sessionize_stream(
@@ -41,17 +41,7 @@ def sessionize_stream(
             F.session_window(F.col(ts_col), gap).alias("sw"),
             F.col(key_col),
         )
-        .agg(
-            F.expr(
-                f"CAST(FLOOR(MIN(CAST({ts_col} AS DOUBLE))) AS BIGINT)"
-            ).alias("session_start"),
-            F.expr(
-                f"CAST(FLOOR(MAX(CAST({ts_col} AS DOUBLE))) AS BIGINT)"
-            ).alias("session_end"),
-            F.count("*").alias("n_events"),
-            F.min(id_col).alias("first_event"),
-            F.max(id_col).alias("last_event"),
-        )
+        .agg(*session_aggs(ts_col, id_col))
         .select(
             F.col(key_col),
             "session_start",

@@ -338,3 +338,26 @@ def test_trajectory_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with NULL ts has no position on the time axis: it
+    must never be carried (NULLS FIRST ordering would otherwise sort it
+    before every left row), matching the oracle's join predicate."""
+    from datetime import datetime
+
+    from a_tree_spark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, None, 7)],
+        "event_id long, user_id long, ts timestamp, cents long",
+    )
+    rows = asof_join(
+        left, right, on="user_id", right_vals={"cents": "cents"}
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["asof_event_id"] is None and rows[0]["asof_cents"] is None

@@ -746,8 +746,12 @@ def test_windowed_rollup_stream_append_emits_only_closed_windows(spark, tmp_path
         (r["window_start"], r["n_events"], r["sum_cents"])
         for r in spark.sql("SELECT * FROM rollup_append").collect()
     }
-    jan1 = int(datetime(2024, 1, 1).timestamp())
-    jan2 = int(datetime(2024, 1, 2).timestamp())
+    # UTC-pinned epochs: naive .timestamp() would use the process TZ,
+    # while the Spark session (and thus window starts) is pinned UTC
+    from datetime import timezone
+
+    jan1 = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+    jan2 = int(datetime(2024, 1, 2, tzinfo=timezone.utc).timestamp())
     assert (jan1, 1, 100) in rows and (jan2, 1, 200) in rows
     # the day-9 window is still open (watermark hasn't passed its end)
     assert all(ws <= jan2 for ws, _, _ in rows)
