@@ -210,10 +210,17 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_quantiles(_documents(spark, sf_dir))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(spark, sf_dir))
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "heavy_hitters": q_heavy_hitters,
     "doc_length_quantiles": q_length_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -263,10 +270,17 @@ def _length_quantiles_oracle() -> str:
     return length_quantiles_oracle_sql()
 
 
+def _tfidf_oracle() -> str:
+    from ..pipeline.text import tfidf_top_terms_oracle_sql
+
+    return tfidf_top_terms_oracle_sql()
+
+
 PIPELINE_ORACLES = {
     "text_features": text_features_oracle_sql(),
     "heavy_hitters": _heavy_hitters_oracle(),
     "doc_length_quantiles": _length_quantiles_oracle(),
+    "tfidf_top_terms": _tfidf_oracle(),
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup.minhash_lsh_oracle(n_bands=dedup.minhash_bands()),

@@ -270,3 +270,80 @@ def length_quantiles_oracle_sql(
     return (
         f"SELECT lang, COUNT(*) AS n_docs, {cols} FROM {table} GROUP BY lang"
     )
+
+
+# ----------------------------------------------------- tf-idf top terms
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(
+    documents: DataFrame, top_n: int = TFIDF_TOP_N
+) -> DataFrame:
+    """Per-document top-N distinguishing terms under an integer-exact
+    tf-idf variant: score = tf * 1e6 DIV df (document frequency as the
+    direct rarity denominator — the log() of classical idf only
+    compresses the ordering, and dropping it keeps every value an
+    integer both engines compute identically; ranking, which is all a
+    top-N needs, is preserved for single-corpus scoring). Ties break
+    (score DESC, token ASC); rank is dense row_number per doc.
+
+    Plan shape: explode -> groupBy(doc, token) for tf (shuffle bounded
+    by distinct (doc, token) pairs), groupBy(token) for df (vocabulary-
+    bounded, map-side combined), broadcast the df map back onto tf (a
+    vocabulary-size dimension table at any corpus scale), then one
+    row_number window per doc. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    tokens = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_map = tokens.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_map), "token").withColumn(
+        "score_x1e6", F.expr("CAST(tf * 1000000 DIV df AS BIGINT)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1e6").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "doc_id", "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_x1e6",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def tfidf_top_terms_oracle_sql(
+    table: str = "documents", top_n: int = TFIDF_TOP_N
+) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {table}
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok
+    WHERE token <> '' GROUP BY doc_id, token
+),
+dfm AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+    WHERE token <> '' GROUP BY token
+)
+SELECT doc_id, token, tf, df, score_x1e6, rank FROM (
+    SELECT tf.doc_id, tf.token, tf.tf, dfm.df,
+           CAST(tf.tf * 1000000 // dfm.df AS BIGINT) AS score_x1e6,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1000000 // dfm.df DESC, tf.token
+           ) AS BIGINT) AS rank
+    FROM tf JOIN dfm USING (token)
+) WHERE rank <= {top_n}
+""".strip()

@@ -821,3 +821,29 @@ def test_length_quantiles_handcrafted(spark):
            for r in length_quantiles(docs).collect()}
     assert out["en"] == (4, 20, 40, 40)
     assert out["de"] == (1, 7, 7, 7)
+
+
+# ---------------------------------------------------- tf-idf top terms
+
+
+def test_tfidf_handcrafted(spark):
+    """tf weighting vs df penalty on a 3-doc fixture: a term unique to
+    a doc outranks a corpus-wide one even at lower tf."""
+    from a_tree_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common common rare"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["token"], r["score_x1e6"])
+        for r in tfidf_top_terms(docs, top_n=2).collect()
+    }
+    # doc 1: rare (tf 1, df 1 -> 1e6) beats common (tf 3, df 3 -> 1e6)
+    # on the token tie-break at equal score? No: scores are equal
+    # (1_000_000) so ASC token order ranks 'common' first.
+    assert rows[(1, 1)] == ("common", 1_000_000)
+    assert rows[(1, 2)] == ("rare", 1_000_000)
+    # doc 2: unique x (1e6) beats common (tf 1, df 3 -> 333333)
+    assert rows[(2, 1)] == ("x", 1_000_000)
+    assert rows[(2, 2)] == ("common", 333_333)
