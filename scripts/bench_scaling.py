@@ -119,8 +119,16 @@ def main() -> None:
         "",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # replace only the scaling block; PRESERVE every section appended
+    # after the raw-JSON fence (ANN recall, family benches, ...)
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        fence_end = old.find("```\n", old.find("Raw JSON:"))
+        if fence_end != -1:
+            tail = old[fence_end + len("```\n"):]
     with open(path, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + tail)
     print(f"efficiency={efficiency:.3f} -> {path}")
 
 
