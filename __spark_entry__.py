@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": SQ.q_asof_join,
         "sessionize": SQ.q_sessionize,
         "trajectory_stats": SQ.q_trajectory_stats,
+        "cell_day_cube": SQ.q_cell_day_cube,
+        "interval_join": SQ.q_interval_join,
     }
     out.update(PIPELINE_QUERIES)
     return out
@@ -144,5 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQ.oracle_asof_join(),
         "sessionize": SQ.oracle_sessionize(),
         "trajectory_stats": SQ.oracle_trajectory_stats(),
+        "cell_day_cube": SQ.oracle_cell_day_cube(),
+        "interval_join": SQ.oracle_interval_join(),
     })
     return out

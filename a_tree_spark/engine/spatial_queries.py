@@ -373,3 +373,60 @@ def oracle_trajectory_stats() -> str:
         f"SELECT event_id, user_id, ts, {POINT_LAT_SQL} AS lat, "
         f"{POINT_LON_SQL} AS lon FROM events"
     )
+
+
+# ------------------------------------------------ cube / grouping sets
+
+
+def q_cell_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(day, cell) over the events: per-pair counts plus all
+    subtotal planes in one shuffle; gid is the standard grouping
+    bitmask (identical convention in Spark and DuckDB)."""
+    from ..pipeline.temporal import cell_day_cube
+
+    return cell_day_cube(rollup_events(spark, sf_dir))
+
+
+def oracle_cell_day_cube() -> str:
+    from ..pipeline.temporal import cell_day_cube_oracle_sql
+
+    return cell_day_cube_oracle_sql(
+        f"SELECT event_id, ts, value, "
+        f"{cell_id_sql(POINT_LAT_SQL, POINT_LON_SQL, JOIN_LEVEL)} AS cell_id "
+        f"FROM events"
+    )
+
+
+# ----------------------------------------------- interval (range) join
+
+
+INTERVAL_HORIZON_S = 6 * 3600
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch arm of the stream-stream interval join: every purchase
+    paired with ALL clicks by the same user in the trailing 6h. The
+    streaming twin (both sides watermarked) is parity-pinned in
+    tests/test_streaming.py."""
+    from ..streaming.interval_join_stream import interval_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        purchases, clicks, horizon_seconds=INTERVAL_HORIZON_S
+    )
+
+
+def oracle_interval_join() -> str:
+    from ..streaming.interval_join_stream import interval_join_oracle_sql
+
+    return interval_join_oracle_sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'",
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+        horizon_seconds=INTERVAL_HORIZON_S,
+    )

@@ -311,3 +311,59 @@ SELECT {key_col}, session_idx,
          - CAST(FLOOR(MIN(epoch({ts_col}))) AS BIGINT) AS duration_s
 FROM numbered GROUP BY {key_col}, session_idx
 """.strip()
+
+
+# ------------------------------------------------- cube / grouping sets
+
+
+def cell_day_cube(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "cell_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-dimensional rollup: CUBE(day, cell) — per-(day, cell)
+    counts plus all three subtotal planes in ONE pass (Spark expands
+    the grouping sets inside a single shuffle; map-side partial aggs
+    apply per set). Subtotal dimensions surface as -1 (not NULL: the
+    driver hash needs NULL-free columns and both day and cell are
+    nonnegative) with ``gid`` = the standard grouping bitmask (MSB =
+    first dim), identical in Spark's grouping_id() and DuckDB's
+    GROUPING()."""
+    day = f"CAST(FLOOR(CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE) / 86400) AS BIGINT)"
+    base = events.selectExpr(
+        f"{day} AS day", key_col, f"CAST(ROUND({value_col} * 100) AS BIGINT) AS cents"
+    )
+    return (
+        base.cube("day", key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            F.expr("coalesce(day, -1)").alias("day"),
+            F.expr(f"coalesce({key_col}, -1)").alias(key_col),
+            "n_events",
+            "sum_cents",
+            "gid",
+        )
+    )
+
+
+def cell_day_cube_oracle_sql(
+    events_sql: str,
+    key_col: str = "cell_id",
+) -> str:
+    return f"""
+WITH ev AS ({events_sql}),
+base AS (
+    SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, {key_col},
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM ev
+)
+SELECT coalesce(day, -1) AS day, coalesce({key_col}, -1) AS {key_col},
+       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(GROUPING(day, {key_col}) AS BIGINT) AS gid
+FROM base GROUP BY CUBE (day, {key_col})
+""".strip()

@@ -361,3 +361,61 @@ def test_asof_join_ignores_null_ts_right_rows(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["asof_event_id"] is None and rows[0]["asof_cents"] is None
+
+
+# ------------------------------------------------ cube / grouping sets
+
+
+def test_q_cell_day_cube(spark):
+    df = SQ.q_cell_day_cube(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_cell_day_cube())
+
+
+def test_cube_planes_are_consistent(spark):
+    """The grand total (gid=3) equals the sum of each subtotal plane —
+    the invariant that catches a wrong grouping expansion."""
+    rows = SQ.q_cell_day_cube(spark, SF_DIR).collect()
+    total = sum(r["n_events"] for r in rows if r["gid"] == 3)
+    by_day = sum(r["n_events"] for r in rows if r["gid"] == 1)
+    by_cell = sum(r["n_events"] for r in rows if r["gid"] == 2)
+    detail = sum(r["n_events"] for r in rows if r["gid"] == 0)
+    assert total == by_day == by_cell == detail > 0
+
+
+# ----------------------------------------------- interval (range) join
+
+
+def test_q_interval_join(spark):
+    df = SQ.q_interval_join(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_interval_join())
+
+
+def test_interval_join_bounds_handcrafted(spark):
+    """Inclusive at lag 0 and at the horizon-1; exclusive at exactly
+    the horizon; cross-user pairs never join."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.streaming.interval_join_stream import interval_join
+
+    t0 = datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame(
+        [(1, 10, t0), (2, 20, t0)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, t0),                               # lag 0: in
+            (101, 10, t0 - timedelta(seconds=3599)),     # in
+            (102, 10, t0 - timedelta(seconds=3600)),     # == horizon: out
+            (103, 10, t0 + timedelta(seconds=1)),        # future: out
+            (104, 30, t0),                               # other user: out
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        (r["l_event"], r["r_event"], r["lag_s"])
+        for r in interval_join(left, right, horizon_seconds=3600).collect()
+    )
+    assert got == [(1, 100, 0), (1, 101, 3599)]

@@ -824,3 +824,62 @@ def test_session_stream_closed_sessions_equal_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(want) == 6  # 3 users x 2 sessions, all closed
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join == the batch twin on the same data.
+    Both sides arrive as file streams; after a sentinel advances the
+    watermark past every real event + horizon, the append sink holds
+    exactly the batch pairs (minus any involving the sentinel)."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.streaming.interval_join_stream import interval_join
+
+    t0 = datetime(2024, 1, 1, 12)
+    schema = "event_id long, user_id long, ts timestamp"
+    lrows = [(i, i % 3, t0 + timedelta(minutes=7 * i)) for i in range(1, 13)]
+    rrows = [(100 + i, i % 3, t0 + timedelta(minutes=4 * i)) for i in range(12)]
+    sentinel = [(9999, 0, datetime(2024, 2, 1))]
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    spark.createDataFrame(lrows, schema).coalesce(1).write.parquet(str(ldir / "b0"))
+    spark.createDataFrame(rrows, schema).coalesce(1).write.parquet(str(rdir / "b0"))
+
+    lstream = spark.readStream.schema(schema).parquet(str(ldir) + "/*")
+    rstream = spark.readStream.schema(schema).parquet(str(rdir) + "/*")
+    joined = interval_join(
+        lstream, rstream, horizon_seconds=1800,
+        watermark="10 minutes", streaming=True,
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ij_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+            str(ldir / "b1")
+        )
+        query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT l_event, user_id, r_event, lag_s FROM ij_parity"
+        ).collect()
+        if r["l_event"] != 9999
+    )
+    batch = interval_join(
+        spark.createDataFrame(lrows, schema),
+        spark.createDataFrame(rrows, schema),
+        horizon_seconds=1800,
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(want) > 0
