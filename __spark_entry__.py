@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_time_rollup": SQ.q_cell_time_rollup,
         "asof_join": SQ.q_asof_join,
         "sessionize": SQ.q_sessionize,
+        "sessionize_skewed": SQ.q_sessionize_skewed,
         "trajectory_stats": SQ.q_trajectory_stats,
         "cell_day_cube": SQ.q_cell_day_cube,
         "interval_join": SQ.q_interval_join,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_time_rollup": SQ.oracle_cell_time_rollup(),
         "asof_join": SQ.oracle_asof_join(),
         "sessionize": SQ.oracle_sessionize(),
+        "sessionize_skewed": SQ.oracle_sessionize(),
         "trajectory_stats": SQ.oracle_trajectory_stats(),
         "cell_day_cube": SQ.oracle_cell_day_cube(),
         "interval_join": SQ.oracle_interval_join(),

@@ -430,3 +430,17 @@ def oracle_interval_join() -> str:
         "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
         horizon_seconds=INTERVAL_HORIZON_S,
     )
+
+
+def q_sessionize_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-proof variant under the SAME oracle as
+    `sessionize` (the two are output-identical; the driver hash proves
+    it on real data, the way the three matcher strategies share one
+    oracle). 1-day buckets at the driver tables exercise cross-bucket
+    merging heavily (12h gap)."""
+    from ..pipeline.temporal import sessionize_skewed
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return sessionize_skewed(events, bucket_seconds=86400)

@@ -367,3 +367,87 @@ SELECT coalesce(day, -1) AS day, coalesce({key_col}, -1) AS {key_col},
        CAST(GROUPING(day, {key_col}) AS BIGINT) AS gid
 FROM base GROUP BY CUBE (day, {key_col})
 """.strip()
+
+
+def sessionize_skewed(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    bucket_seconds: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Skew-proof sessionization — identical output to `sessionize`
+    (pinned by test), different plan for hot keys.
+
+    `sessionize` partitions the window by key alone, so a key holding
+    a billion events lands its entire history in ONE task. This
+    variant splits the ordered pass in two:
+
+      1. LOCAL: sessionize within (key, time-bucket) — the partition
+         key gains the bucket, so a hot key spreads over
+         span/bucket_seconds tasks and no task ever sorts more than
+         one bucket of one key;
+      2. MERGE: the per-bucket session SUMMARIES (start, end, n,
+         first, last — a few rows per key per bucket, independent of
+         event count) go through the SAME lag/cumsum sweep per key,
+         merging adjacent summaries whose boundary gap is <= gap.
+         Chains spanning many buckets collapse in this one pass
+         because the summaries arrive time-ordered per key.
+
+    Correctness: inside a bucket the local pass applies the exact gap
+    rule; across buckets the only information needed is each local
+    session's (start, end), and merging on start - prev_end <= gap is
+    the same rule — so the composition is exact, not approximate.
+    ``bucket_seconds`` is a pure parallelism knob (any value works;
+    more buckets = more parallelism, more summary rows).
+    """
+    ep = f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE)"
+    bucketed = events.withColumn(
+        "_bucket", F.expr(f"CAST(FLOOR({ep} / {bucket_seconds}) AS BIGINT)")
+    )
+    # local pass: same sweep, partitioned by (key, bucket)
+    w = Window.partitionBy(key_col, "_bucket").orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    flagged = bucketed.select(
+        F.col(key_col),
+        F.col("_bucket"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | (sec - F.lag(sec).over(w) > float(gap_seconds)),
+            1,
+        ).otherwise(0).alias("is_new"),
+    ).withColumn("local_idx", F.sum("is_new").over(wrun))
+    local = flagged.groupBy(key_col, "_bucket", "local_idx").agg(
+        F.expr(f"MIN({ep})").alias("start_s"),
+        F.expr(f"MAX({ep})").alias("end_s"),
+        F.count("*").alias("n_events"),
+        F.min(id_col).alias("first_event"),
+        F.max(id_col).alias("last_event"),
+    )
+    # merge pass: sessionize the summaries (tiny per key) by start time
+    wm = Window.partitionBy(key_col).orderBy("start_s", "first_event")
+    wmrun = wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = local.select(
+        F.col(key_col),
+        "start_s", "end_s", "n_events", "first_event", "last_event",
+        F.when(
+            F.lag("end_s").over(wm).isNull()
+            | (F.col("start_s") - F.lag("end_s").over(wm) > float(gap_seconds)),
+            1,
+        ).otherwise(0).alias("is_new"),
+    ).withColumn("session_idx", F.sum("is_new").over(wmrun))
+    return merged.groupBy(key_col, "session_idx").agg(
+        F.expr("CAST(FLOOR(MIN(start_s)) AS BIGINT)").alias("session_start"),
+        F.expr("CAST(FLOOR(MAX(end_s)) AS BIGINT)").alias("session_end"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("first_event").alias("first_event"),
+        F.max("last_event").alias("last_event"),
+    ).withColumn(
+        "duration_s", F.col("session_end") - F.col("session_start")
+    )

@@ -419,3 +419,39 @@ def test_interval_join_bounds_handcrafted(spark):
         for r in interval_join(left, right, horizon_seconds=3600).collect()
     )
     assert got == [(1, 100, 0), (1, 101, 3599)]
+
+
+def test_sessionize_skewed_equals_plain(spark):
+    """Two-phase (bucketed local + summary merge) == single-pass
+    sessionize on real events, with buckets much smaller than the data
+    span so cross-bucket merging is exercised heavily."""
+    from a_tree_spark.pipeline.temporal import sessionize, sessionize_skewed
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    plain = sorted(map(tuple, sessionize(events).collect()))
+    two = sorted(map(tuple, sessionize_skewed(
+        events, bucket_seconds=86400  # 1-day buckets, 12h gap
+    ).collect()))
+    assert two == plain and len(plain) > 0
+
+
+def test_sessionize_skewed_chain_across_buckets(spark):
+    """A single session whose events are spaced just under the gap,
+    spanning MANY buckets, must collapse to one merged session."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import sessionize_skewed
+
+    t0 = datetime(2024, 1, 1)
+    gap = 3600
+    rows = [(i, 1, t0 + timedelta(seconds=i * (gap - 1))) for i in range(50)]
+    out = sessionize_skewed(
+        spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp"),
+        gap_seconds=gap,
+        bucket_seconds=2 * gap,  # chain crosses ~25 bucket boundaries
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 50
+    assert out[0]["first_event"] == 0 and out[0]["last_event"] == 49
