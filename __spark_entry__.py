@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": SQ.q_sessionize,
         "sessionize_skewed": SQ.q_sessionize_skewed,
         "trajectory_stats": SQ.q_trajectory_stats,
+        "trajectory_stats_skewed": SQ.q_trajectory_stats_skewed,
         "cell_day_cube": SQ.q_cell_day_cube,
         "interval_join": SQ.q_interval_join,
     }
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQ.oracle_sessionize(),
         "sessionize_skewed": SQ.oracle_sessionize(),
         "trajectory_stats": SQ.oracle_trajectory_stats(),
+        "trajectory_stats_skewed": SQ.oracle_trajectory_stats(),
         "cell_day_cube": SQ.oracle_cell_day_cube(),
         "interval_join": SQ.oracle_interval_join(),
     })

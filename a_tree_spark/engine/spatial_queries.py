@@ -444,3 +444,16 @@ def q_sessionize_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     return sessionize_skewed(events, bucket_seconds=86400)
+
+
+def q_trajectory_stats_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-proof trajectory under trajectory_stats' oracle
+    (output-identical: bucketed local paths + boundary bridges)."""
+    from ..spatial.ops import trajectory_stats_skewed
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", "ts",
+        f"{POINT_LAT_SQL} AS lat",
+        f"{POINT_LON_SQL} AS lon",
+    )
+    return trajectory_stats_skewed(pts, bucket_seconds=86400)

@@ -431,3 +431,70 @@ SELECT {key_col}, COUNT(*) AS n_points,
        CAST(FLOOR(MAX(lon) * 1000000) AS BIGINT) AS max_lon_micro
 FROM segs GROUP BY {key_col}
 """.strip()
+
+
+def trajectory_stats_skewed(
+    points: DataFrame,
+    bucket_seconds: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Skew-proof twin of `trajectory_stats` (output-identical, pinned
+    by test + the shared driver oracle): the per-key ordered pass runs
+    within (key, time-bucket) so a hot key spreads over span/bucket
+    tasks, then a merge pass adds the ONE boundary segment between
+    consecutive buckets — computed from each bucket's first/last point,
+    carried via min/max over a (ts, id, lat, lon) struct (lexicographic
+    struct ordering = the event order, no extra window). Path sums are
+    integer micro-degrees, so local + boundary composition is exact.
+    """
+    ep = f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE)"
+    w = Window.partitionBy(key_col, "_bucket").orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    seg = F.expr(_segment_micro_sql("lat", "lon", "_plat", "_plon"))
+    segs = points.withColumn(
+        "_bucket", F.expr(f"CAST(FLOOR({ep} / {bucket_seconds}) AS BIGINT)")
+    ).select(
+        F.col(key_col),
+        F.col("_bucket"),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col("lat"),
+        F.col("lon"),
+        F.lag("lat").over(w).alias("_plat"),
+        F.lag("lon").over(w).alias("_plon"),
+    ).withColumn(
+        "seg_micro",
+        F.when(F.col("_plat").isNull(), F.lit(0).cast("bigint")).otherwise(seg),
+    )
+    local = segs.groupBy(key_col, "_bucket").agg(
+        F.count("*").alias("n_points"),
+        F.sum("seg_micro").cast("bigint").alias("path_micro"),
+        F.min(F.struct(ts_col, id_col, "lat", "lon")).alias("_first"),
+        F.max(F.struct(ts_col, id_col, "lat", "lon")).alias("_last"),
+        F.expr("CAST(FLOOR(MIN(lat) * 1000000) AS BIGINT)").alias("min_lat_micro"),
+        F.expr("CAST(FLOOR(MAX(lat) * 1000000) AS BIGINT)").alias("max_lat_micro"),
+        F.expr("CAST(FLOOR(MIN(lon) * 1000000) AS BIGINT)").alias("min_lon_micro"),
+        F.expr("CAST(FLOOR(MAX(lon) * 1000000) AS BIGINT)").alias("max_lon_micro"),
+    )
+    wm = Window.partitionBy(key_col).orderBy("_bucket")
+    boundary = F.expr(
+        _segment_micro_sql("_first.lat", "_first.lon", "_pl.lat", "_pl.lon")
+    )
+    merged = local.withColumn(
+        "_pl", F.lag("_last").over(wm)
+    ).withColumn(
+        "bridge_micro",
+        F.when(F.col("_pl").isNull(), F.lit(0).cast("bigint")).otherwise(boundary),
+    )
+    return merged.groupBy(key_col).agg(
+        F.sum("n_points").cast("bigint").alias("n_points"),
+        (F.sum("path_micro") + F.sum("bridge_micro"))
+        .cast("bigint").alias("path_len_micro"),
+        F.min("min_lat_micro").alias("min_lat_micro"),
+        F.max("max_lat_micro").alias("max_lat_micro"),
+        F.min("min_lon_micro").alias("min_lon_micro"),
+        F.max("max_lon_micro").alias("max_lon_micro"),
+    )

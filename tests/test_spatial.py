@@ -455,3 +455,27 @@ def test_sessionize_skewed_chain_across_buckets(spark):
     assert len(out) == 1
     assert out[0]["n_events"] == 50
     assert out[0]["first_event"] == 0 and out[0]["last_event"] == 49
+
+
+def test_trajectory_skewed_equals_plain(spark):
+    """Two-phase (bucketed + boundary bridges) == single-pass
+    trajectory_stats on real points, with 1-day buckets over a 30-day
+    span so every user crosses many boundaries."""
+    from a_tree_spark.spatial.fixtures import POINT_LAT_SQL, POINT_LON_SQL
+    from a_tree_spark.spatial.ops import trajectory_stats_skewed
+
+    pts = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_id", "user_id", "ts",
+        f"{POINT_LAT_SQL} AS lat",
+        f"{POINT_LON_SQL} AS lon",
+    )
+    plain = sorted(map(tuple, SQ.q_trajectory_stats(spark, SF_DIR)
+                       .select("user_id", "n_points", "path_len_micro",
+                               "min_lat_micro", "max_lat_micro",
+                               "min_lon_micro", "max_lon_micro").collect()))
+    two = sorted(map(tuple, trajectory_stats_skewed(
+        pts, bucket_seconds=86400
+    ).select("user_id", "n_points", "path_len_micro",
+             "min_lat_micro", "max_lat_micro",
+             "min_lon_micro", "max_lon_micro").collect()))
+    assert two == plain and len(plain) > 0
