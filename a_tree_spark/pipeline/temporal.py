@@ -34,9 +34,6 @@ def sum_cents_sql(value_col: str = "value") -> str:
     return f"CAST(SUM(CAST(ROUND({value_col} * 100) AS BIGINT)) AS BIGINT)"
 
 
-SUM_CENTS_SQL = sum_cents_sql()
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,

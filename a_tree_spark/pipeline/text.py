@@ -303,7 +303,7 @@ def tfidf_top_terms(
     df_map = tokens.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = tf.join(F.broadcast(df_map), "token").withColumn(
+    scored = tf.join(df_map, "token").withColumn(
         "score_x1e6", F.expr("CAST(tf * 1000000 DIV df AS BIGINT)")
     )
     w = Window.partitionBy("doc_id").orderBy(

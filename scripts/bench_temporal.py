@@ -32,9 +32,12 @@ from a_tree_spark.pipeline.temporal import asof_join, sessionize, windowed_rollu
 def synth_events(spark, n: int, n_users: int) -> DataFrame:
     """Deterministic event stream: ids dense, ts scattered over 30
     days with microsecond offsets, value in [0, 10)."""
+    # user derives from id DIV 2 so the even/odd left-right split below
+    # covers EVERY user on both sides (id % n_users with even n_users
+    # made parity(user) == parity(id): disjoint key sets, vacuous A/B)
     return spark.range(n).selectExpr(
         "id AS event_id",
-        f"CAST(id % {n_users} AS BIGINT) AS user_id",
+        f"CAST((id DIV 2) % {n_users} AS BIGINT) AS user_id",
         "timestamp_micros(CAST(1704067200000000 + (id * 2654435761) % 2592000000000 AS BIGINT)) AS ts",
         "CAST((id % 1000) / 100.0 AS DOUBLE) AS value",
         "CAST(id % 4096 AS BIGINT) AS cell_id",
@@ -46,13 +49,22 @@ def naive_asof(left: DataFrame, right: DataFrame) -> DataFrame:
     a Spark plan — the control arm of the A/B."""
     from pyspark.sql import Window
 
+    # rename the right key: left and right derive from the SAME frame,
+    # so left["user_id"]/r["user_id"] share an attribute id and a
+    # predicate-join + drop resolves ambiguously (the no-match NULL
+    # side leaked into the output). Distinct names sidestep it.
     r = right.select(
-        F.col("user_id"),
+        F.col("user_id").alias("r_user"),
         F.col("ts").alias("r_ts"),
         F.col("event_id").alias("asof_event_id"),
     )
-    joined = left.join(r, "user_id", "left").where(
-        F.col("r_ts").isNull() | (F.col("r_ts") <= F.col("ts"))
+    # the time bound belongs IN the join predicate: post-filtering a
+    # plain left join drops left rows whose matches are all in the
+    # future instead of emitting a NULL as-of
+    joined = left.join(
+        r,
+        (F.col("user_id") == F.col("r_user")) & (F.col("r_ts") <= F.col("ts")),
+        "left",
     )
     w = Window.partitionBy("event_id").orderBy(
         F.col("r_ts").desc_nulls_last(), F.col("asof_event_id").desc_nulls_last()
