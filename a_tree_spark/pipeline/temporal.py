@@ -298,7 +298,12 @@ numbered AS (
         ROWS UNBOUNDED PRECEDING
     ) AS session_idx FROM flagged
 )
-SELECT {key_col}, session_idx,
+SELECT {key_col},
+       -- HUGEINT trap (round-2 raster_vector, round-5 sessionize): the
+       -- windowed SUM is HUGEINT, which pandas' .df() renders float64
+       -- while Spark emits int64 — the driver's value hash is
+       -- byte-sensitive, so the cast is load-bearing.
+       CAST(session_idx AS BIGINT) AS session_idx,
        CAST(FLOOR(MIN(epoch({ts_col}))) AS BIGINT) AS session_start,
        CAST(FLOOR(MAX(epoch({ts_col}))) AS BIGINT) AS session_end,
        COUNT(*) AS n_events,

@@ -19,6 +19,50 @@ import sys
 import time
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from the aggregate /proc/stat line."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
+def _timed_with_steal(fn) -> tuple[float, float]:
+    """Wall seconds + host CPU steal%% observed DURING the run — the
+    round-5 driver window recorded a 2.6x flagship regression that the
+    builder's same-code quiet windows contradicted, but the artifact
+    had no steal data to adjudicate it (VERDICT r5 item 3)."""
+    total0, steal0 = _cpu_stat()
+    t0 = time.time()
+    fn()
+    wall = time.time() - t0
+    total1, steal1 = _cpu_stat()
+    steal = 100.0 * (steal1 - steal0) / max(1, total1 - total0)
+    return wall, round(steal, 2)
+
+
+def _min_of_n(fn, min_runs: int, cap: int, extended_cap: int):
+    """Adaptive min-of-N: run until the two best agree within 20%%.
+    When the post-warmup spread exceeds 1.5x (a steal streak), extend
+    the cap — two adjacent runs agreeing on a bad number must not
+    early-stop the window (round-4/5 lesson)."""
+    runs: list[float] = []
+    steals: list[float] = []
+    i = 0
+    while i < cap:
+        wall, steal = _timed_with_steal(fn)
+        runs.append(round(wall, 3))
+        steals.append(steal)
+        i += 1
+        if i >= min_runs:
+            best_two = sorted(runs)[:2]
+            if best_two[1] <= best_two[0] * 1.2:
+                break
+            post = runs[1:] if len(runs) > 1 else runs
+            if max(post) > 1.5 * min(post):
+                cap = extended_cap
+    return runs, steals
+
+
 def _pages_parquet(spark, n_pages: int, cache_dir: str = "/tmp/spark_graft_bench") -> str:
     """Materialize the synthetic pages table once; benches read parquet."""
     path = os.path.join(cache_dir, f"pages_{n_pages}.parquet")
@@ -100,19 +144,14 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         return cell_stats_from_root_partials(partials, root_map).count()
 
     # steady-state: min-of-N — the sandbox VM sees intermittent host
-    # CPU steal (2-4x swings on identical runs); keep running (up to 7)
-    # until the two best runs agree within 20%, so one quiet run can't
-    # masquerade as the steady state and one streak can't poison it
-    runs = []
-    for i in range(7):
-        timed("web_pipeline", flagship)
-        runs.append(timings["web_pipeline"])
-        if i >= 3:
-            best_two = sorted(runs)[:2]
-            if best_two[1] <= best_two[0] * 1.2:
-                break
+    # CPU steal (2-4x swings on identical runs); keep running until the
+    # two best runs agree within 20%, extending the cap (7 -> 14) when
+    # the post-warmup spread exceeds 1.5x, and record per-run steal%
+    # so a poisoned window is adjudicable from the artifact alone
+    runs, steals = _min_of_n(flagship, min_runs=4, cap=7, extended_cap=14)
     timings["web_pipeline"] = min(runs)
     extras["web_pipeline_runs"] = runs
+    extras["web_pipeline_steal_pct"] = steals
     extras["docs_per_sec"] = round(n_pages / timings["web_pipeline"], 1)
     extras["n_pages"] = n_pages
     extras["n_subscriptions"] = n_subs
@@ -132,20 +171,18 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
     # two adjacent runs agree on a bad number, and a 2-run early stop
     # locked that in (measured: ann_ivf 4.28s in a streak vs 1.12s one
     # session later on identical code).
+    query_steal: dict[str, list[float]] = {}
+    query_runs: dict[str, list[float]] = {}
     for name in sorted(queries):
         def once(name=name):
             return queries[name](spark, sf_dir).count()
 
-        runs = []
-        for i in range(6):
-            t0 = time.time()
-            once()
-            runs.append(time.time() - t0)
-            if i >= 2:
-                best_two = sorted(runs)[:2]
-                if best_two[1] <= best_two[0] * 1.2:
-                    break
-        timings[name] = round(min(runs), 3)
+        runs, steals = _min_of_n(once, min_runs=3, cap=6, extended_cap=9)
+        timings[name] = min(runs)
+        query_runs[name] = runs
+        query_steal[name] = steals
+    extras["query_runs"] = query_runs
+    extras["query_steal_pct"] = query_steal
 
     result = {
         "metric": "spatial-join + predicate-match throughput (docs/sec) + operator suite",

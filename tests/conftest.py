@@ -60,10 +60,84 @@ def rows_of(records) -> list[tuple]:
     )
 
 
+def _spark_pandas_family(data_type) -> str:
+    """What family of pandas dtype the DRIVER will see for a Spark
+    column. The driver diffs via pandas value hashes, which are
+    byte-sensitive: a DuckDB HUGEINT (uncast windowed SUM) arrives as
+    float64 while Spark emits int64 — rows/schema match, hash breaks
+    (round-2 raster_vector, round-5 sessionize)."""
+    t = data_type.simpleString()
+    if t in ("bigint", "int", "smallint", "tinyint"):
+        return "integer"
+    if t in ("double", "float"):
+        return "float"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp") or t == "date":
+        return "datetime"
+    return "object"  # string / array / binary / map / struct
+
+
+def assert_driver_dtypes(spark_df, oracle_pdf):
+    """Pin the oracle's pandas dtypes (what the driver's `.df()` path
+    yields) to the Spark schema. Catches the HUGEINT/Decimal dialect
+    traps that are invisible to fetchall() (Python int == numpy
+    float64 compares equal, but the driver's value hash does not)."""
+    import decimal
+
+    fields = {f.name: f for f in spark_df.schema.fields}
+    assert sorted(oracle_pdf.columns) == sorted(fields), (
+        f"column mismatch: spark={sorted(fields)} "
+        f"oracle={sorted(oracle_pdf.columns)}"
+    )
+    for c in oracle_pdf.columns:
+        family = _spark_pandas_family(fields[c].dataType)
+        dt = oracle_pdf[c].dtype
+        if family == "decimal":
+            raise AssertionError(
+                f"{c}: Spark emits DECIMAL — the driver's pandas hash "
+                f"cannot compare Decimal residue; cast to BIGINT/DOUBLE "
+                f"in BOTH engines"
+            )
+        if family == "integer":
+            if dt.kind in "iu":
+                continue
+            if dt.kind == "f" and bool(oracle_pdf[c].isna().any()):
+                continue  # pandas promotes nullable ints on both sides
+            raise AssertionError(
+                f"{c}: Spark {fields[c].dataType.simpleString()} but "
+                f"oracle pandas dtype {dt} — HUGEINT trap: CAST the "
+                f"oracle aggregate to BIGINT"
+            )
+        if family == "float":
+            assert dt.kind == "f", f"{c}: Spark float but oracle {dt}"
+        elif family == "bool":
+            assert dt.kind in "bO", f"{c}: Spark boolean but oracle {dt}"
+        elif family == "datetime":
+            assert dt.kind == "M", f"{c}: Spark timestamp but oracle {dt}"
+        elif family == "object":
+            assert dt.kind == "O", (
+                f"{c}: Spark {fields[c].dataType.simpleString()} but "
+                f"oracle pandas dtype {dt}"
+            )
+            nonnull = oracle_pdf[c].dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], decimal.Decimal):
+                raise AssertionError(
+                    f"{c}: oracle yields Decimal objects — cast to "
+                    f"BIGINT/DOUBLE (driver hash breaks on Decimal)"
+                )
+
+
 def assert_matches_duckdb(spark_df, oracle_sql: str, sf_dir: str = SF_DIR):
     """Order-insensitive row diff of a Spark DataFrame vs DuckDB SQL,
-    with columns aligned by name (the driver sorts columns by name)."""
+    with columns aligned by name (the driver sorts columns by name),
+    PLUS a driver-fidelity dtype check: the oracle is also fetched via
+    `.df()` (the driver's pandas path) and its dtypes pinned to the
+    Spark schema."""
     con = duck_connection(sf_dir)
+    assert_driver_dtypes(spark_df, con.execute(oracle_sql).df())
     oracle = con.execute(oracle_sql)
     oracle_cols = [d[0] for d in oracle.description]
     oracle_rows = oracle.fetchall()

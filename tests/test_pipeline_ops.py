@@ -823,6 +823,28 @@ def test_length_quantiles_handcrafted(spark):
     assert out["de"] == (1, 7, 7, 7)
 
 
+def test_length_quantiles_plan_windows_histogram_only(spark):
+    """No Window sorts a corpus-sized partition (VERDICT r5 item 4):
+    every Window in the physical plan sits ABOVE the histogram
+    HashAggregate, so the window's sort input is the distinct
+    (lang, len) relation — bounded by max document length — not the
+    documents scan. The plan prints top-down, so 'a HashAggregate on
+    a line after the last Window line' == 'the Window's child subtree
+    aggregates before anything is sorted'."""
+    from a_tree_spark.engine.pipeline_queries import q_length_quantiles
+
+    plan = (
+        q_length_quantiles(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    win_idx = [i for i, line in enumerate(lines) if "Window" in line]
+    assert win_idx, plan
+    assert any(
+        "HashAggregate" in line for line in lines[max(win_idx) + 1:]
+    ), f"Window reads the raw corpus:\n{plan}"
+
+
 # ---------------------------------------------------- tf-idf top terms
 
 
