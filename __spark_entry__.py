@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_ring_stats": SQ.q_cell_ring_stats,
         "cell_time_rollup": SQ.q_cell_time_rollup,
         "asof_join": SQ.q_asof_join,
+        "asof_join_skewed": SQ.q_asof_join_skewed,
         "sessionize": SQ.q_sessionize,
         "sessionize_skewed": SQ.q_sessionize_skewed,
         "trajectory_stats": SQ.q_trajectory_stats,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_ring_stats": SQ.oracle_cell_ring_stats(),
         "cell_time_rollup": SQ.oracle_cell_time_rollup(),
         "asof_join": SQ.oracle_asof_join(),
+        "asof_join_skewed": SQ.oracle_asof_join(),
         "sessionize": SQ.oracle_sessionize(),
         "sessionize_skewed": SQ.oracle_sessionize(),
         "trajectory_stats": SQ.oracle_trajectory_stats(),

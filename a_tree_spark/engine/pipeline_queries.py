@@ -25,17 +25,17 @@ def _parquet_rows(path: str) -> int:
     plan-sizing decision costs zero cluster scans (VERDICT round 4:
     the entry points ran ``df.count()`` at plan time — one extra full
     scan per query submission)."""
-    import os
-
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
-        )
-    return pq.read_metadata(path).num_rows
+    # ParquetDataset discovers fragments recursively (nested/
+    # partitioned layouts included) and resolves remote filesystems
+    # pyarrow supports; a flat os.listdir here silently returned 0 for
+    # fully nested directories, which silently shrank the size-derived
+    # LSH/IVF knobs (ADVICE r5)
+    files = pq.ParquetDataset(path).files
+    if not files:
+        raise ValueError(f"no parquet footers found under {path!r}")
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -309,6 +309,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase skew-proof as-of variant on the same inputs as
+    `q_asof_join` — it shares that row's driver oracle (the
+    matcher-strategy pattern: one spec, two plans). bucket_seconds=3d
+    over the 30-day events table means ~10 buckets per key, so the
+    cross-bucket carry path is genuinely exercised at the gate."""
+    from ..pipeline.temporal import asof_join_skewed
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").selectExpr(
+        "event_id", "user_id", "ts",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+    )
+    joined = asof_join_skewed(
+        purchases, clicks, on="user_id",
+        right_vals={"cents": "cents"},
+        bucket_seconds=3 * 86400,
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.expr("coalesce(asof_event_id, -1)").alias("asof_event_id"),
+        F.expr("coalesce(asof_cents, -1)").alias("asof_cents"),
+    )
+
+
 def oracle_asof_join() -> str:
     from ..pipeline.temporal import asof_join_oracle_sql
 

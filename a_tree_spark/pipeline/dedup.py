@@ -27,7 +27,19 @@ by the band width, so AQE skew-join covers it).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+#: serializes the persistent-RDD snapshot-diff in duplicate_clusters
+#: (see _ckpt_tracked) against concurrent driver threads
+_CKPT_LOCK = threading.Lock()
+
+#: one-slot holder for the previous simhash_near_dup_pairs signature
+#: cache: each invocation unpersists its predecessor, bounding a
+#: long-lived session to ONE cached signature frame (ADVICE r5) while
+#: keeping the current call's self-join backed by the cache
+_SIMHASH_SIG_CACHE: list = []
 
 # 128 seeds in 16 bands of r=8: the LSH S-curve midpoint (1/b)^(1/r) =
 # (1/16)^(1/8) ≈ 0.707 sits exactly at the 0.7 Jaccard threshold — the
@@ -542,8 +554,14 @@ def simhash_near_dup_pairs(
     # sides, and without the cache Spark recomputes the 64-vote
     # explode+aggregate pipeline twice (measured 4x: 2.3-2.8s -> 0.56s
     # at sf0.1). Same pattern as the minhash/rare-shingle caches; at
-    # real scale signatures persist to a table instead.
+    # real scale signatures persist to a table instead. The PREVIOUS
+    # invocation's cache is released here (one-slot discipline): the
+    # result is lazy, so the current cache must outlive this call, but
+    # repeated invocations must not accrue cached blocks (ADVICE r5).
+    while _SIMHASH_SIG_CACHE:
+        _SIMHASH_SIG_CACHE.pop().unpersist(False)
     sig = simhash_signatures(corpus).cache()
+    _SIMHASH_SIG_CACHE.append(sig)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -686,11 +704,14 @@ def duplicate_clusters(
         localCheckpoint blocks (measured: the block survives), and the
         ContextCleaner only frees them at some later GC — an iterative
         loop would otherwise hold O(rounds x |V|) checkpoint storage.
-        Single-threaded driver assumption (true here): the ids that
-        appear across the call belong to this checkpoint."""
-        before = _persistent_ids()
-        out = df.localCheckpoint()
-        return out, _persistent_ids() - before
+        The snapshot-diff is serialized under _CKPT_LOCK: a concurrent
+        driver thread persisting between the two snapshots would get
+        its (non-recomputable) localCheckpoint blocks attributed to —
+        and later freed by — this loop (ADVICE r5)."""
+        with _CKPT_LOCK:
+            before = _persistent_ids()
+            out = df.localCheckpoint()
+            return out, _persistent_ids() - before
 
     def _free(ids: set) -> None:
         jmap = sc._jsc.getPersistentRDDs()

@@ -59,6 +59,36 @@ def asof_join(
     distributed as-of formulation (Flink temporal join / Pandas
     merge_asof do the same sweep).
     """
+    merged, left_cols, carried = _asof_tagged_union(
+        left, right, on, ts_col, right_id, right_vals
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col(f"asof_{right_id}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *[F.col(c) for c in left_cols],
+        F.col("_side"),
+        F.last("_packed", ignorenulls=True).over(w).alias("_p"),
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_p.{c}").alias(c) for c in carried],
+    )
+
+
+def _asof_tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_id: str,
+    right_vals: dict[str, str] | None,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Shared front half of the as-of sweep: tag both sides, align
+    schemas, union, and pack the carried right attributes into one
+    struct. Returns (merged, left_cols, carried)."""
     right_vals = right_vals or {}
     carried = [f"asof_{right_id}"] + [f"asof_{a}" for a in right_vals]
     left_cols = left.columns
@@ -92,19 +122,102 @@ def asof_join(
         "_packed",
         F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in carried])),
     )
+    return merged, left_cols, carried
+
+
+def asof_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_id: str = "event_id",
+    right_vals: dict[str, str] | None = None,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Skew-proof as-of join — identical output to `asof_join` (pinned
+    by test and by sharing its driver oracle), different plan for hot
+    keys, following the proven two-phase shape of `sessionize_skewed` /
+    `trajectory_stats_skewed`.
+
+    `asof_join` partitions its ordered sweep by key alone, so a key
+    holding a billion rows serializes through ONE task. Here:
+
+      1. LOCAL: the same union-tag sweep partitioned by
+         (key, time-bucket) — a hot key spreads over span/bucket_seconds
+         tasks; each left row learns the latest right row within its
+         OWN bucket (NULL if the bucket has no earlier right row);
+      2. BRIDGE: per (key, bucket), the last right row's packed
+         attributes (ONE row per key x bucket, independent of event
+         count) are carried forward across buckets with a tiny per-key
+         window — bucket b's carry-in is the last right row of the
+         nearest earlier bucket that has one;
+      3. MERGE: left rows take their local hit, else the carry-in.
+
+    Correctness: any right row in an earlier bucket has ts < the left
+    row's bucket start <= left ts, so every carried row satisfies the
+    as-of predicate; the LATEST one is by definition the last right row
+    of the latest earlier non-empty bucket — exactly the bridge value.
+    Within a bucket the local sweep applies the exact (ts, id)
+    tie-break, and equal timestamps can never span buckets, so the
+    composition is exact for ANY bucket_seconds (a pure parallelism
+    knob)."""
+    merged, left_cols, carried = _asof_tagged_union(
+        left, right, on, ts_col, right_id, right_vals
+    )
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    merged = merged.withColumn(
+        "_bucket", F.floor(sec / float(bucket_seconds)).cast("bigint")
+    )
+    # 1. local sweep, partitioned by (key, bucket)
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(on, "_bucket")
         .orderBy(F.col(ts_col), F.col("_side"), F.col(f"asof_{right_id}"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged.select(
+    local = merged.select(
         *[F.col(c) for c in left_cols],
+        F.col("_bucket"),
         F.col("_side"),
         F.last("_packed", ignorenulls=True).over(w).alias("_p"),
+    ).filter(F.col("_side") == 1)
+    # 2. bridge: one summary row per (key, bucket) that HAS right rows,
+    #    then carry the latest earlier summary into every (key, bucket)
+    #    either side touches. max_by orders by (ts, id) — same
+    #    tie-break as the sweep.
+    last_right = (
+        merged.filter(F.col("_side") == 0)
+        .groupBy(on, "_bucket")
+        .agg(
+            F.max_by(
+                "_packed",
+                F.struct(F.col(ts_col), F.col(f"asof_{right_id}")),
+            ).alias("_last")
+        )
     )
-    return filled.filter(F.col("_side") == 1).select(
-        *[F.col(c) for c in left_cols],
-        *[F.col(f"_p.{c}").alias(c) for c in carried],
+    buckets = merged.select(on, "_bucket").distinct()
+    wcarry = (
+        Window.partitionBy(on)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(last_right, [on, "_bucket"], "left")
+        .select(
+            F.col(on),
+            F.col("_bucket"),
+            F.last("_last", ignorenulls=True).over(wcarry).alias("_carry"),
+        )
+    )
+    # 3. merge: the carry relation is one row per (key, bucket) —
+    #    orders of magnitude smaller than the data — joined back on the
+    #    exact partitioning the local pass already established
+    return (
+        local.join(carry, [on, "_bucket"], "left")
+        .withColumn("_best", F.coalesce(F.col("_p"), F.col("_carry")))
+        .select(
+            *[F.col(c) for c in left_cols],
+            *[F.col(f"_best.{c}").alias(c) for c in carried],
+        )
     )
 
 

@@ -135,13 +135,22 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         timings[name] = round(time.time() - t0, 3)
         return result
 
+    def _force(df):
+        # full materialization via the noop sink: df.count() is NOT a
+        # valid bench action — Catalyst prunes columns the count does
+        # not need, which deletes whole operators from projection-
+        # shaped results (measured: count() of the as-of sweep plans NO
+        # Window node, so the round-5 asof_join row timed scan+filter
+        # only) and strips aggregate expressions down to keys elsewhere
+        df.write.format("noop").mode("overwrite").save()
+
     def flagship():
         # no repartition: the scan itself yields enough splits (128
         # files @ 4m split size), so the single python stage reads
         # straight from the scan with zero shuffles before aggregation
         pages = spark.read.parquet(pages_path)
         partials = fused_match_pages(keyed(pages), forest, emit="cell_root_partials")
-        return cell_stats_from_root_partials(partials, root_map).count()
+        return _force(cell_stats_from_root_partials(partials, root_map))
 
     # steady-state: min-of-N — the sandbox VM sees intermittent host
     # CPU steal (2-4x swings on identical runs); keep running until the
@@ -175,7 +184,7 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
     query_runs: dict[str, list[float]] = {}
     for name in sorted(queries):
         def once(name=name):
-            return queries[name](spark, sf_dir).count()
+            return _force(queries[name](spark, sf_dir))
 
         runs, steals = _min_of_n(once, min_runs=3, cap=6, extended_cap=9)
         timings[name] = min(runs)

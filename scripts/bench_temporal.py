@@ -26,7 +26,12 @@ sys.path.insert(0, ".")
 from pyspark.sql import DataFrame, functions as F
 
 from a_tree_spark.engine.session import get_spark
-from a_tree_spark.pipeline.temporal import asof_join, sessionize, windowed_rollup
+from a_tree_spark.pipeline.temporal import (
+    asof_join,
+    asof_join_skewed,
+    sessionize,
+    windowed_rollup,
+)
 
 
 def synth_events(spark, n: int, n_users: int) -> DataFrame:
@@ -41,6 +46,64 @@ def synth_events(spark, n: int, n_users: int) -> DataFrame:
         "timestamp_micros(CAST(1704067200000000 + (id * 2654435761) % 2592000000000 AS BIGINT)) AS ts",
         "CAST((id % 1000) / 100.0 AS DOUBLE) AS value",
         "CAST(id % 4096 AS BIGINT) AS cell_id",
+    )
+
+
+def synth_skewed_events(spark, n: int, n_users: int) -> DataFrame:
+    """50%-hot-key stream: half of all rows land on user 0, the rest
+    spread uniformly. Hot rows take ids {0,1} mod 4 so BOTH parities —
+    i.e. both arms of the left/right split below — see the hot key
+    (the round-5 vacuous-A/B lesson: check the match sets, not just
+    the wall clock)."""
+    return spark.range(n).selectExpr(
+        "id AS event_id",
+        f"CAST(CASE WHEN id % 4 < 2 THEN 0 "
+        f"ELSE 1 + (id DIV 4) % {n_users} END AS BIGINT) AS user_id",
+        "timestamp_micros(CAST(1704067200000000 + (id * 2654435761) % 2592000000000 AS BIGINT)) AS ts",
+    )
+
+
+def skew_ab(spark, n: int, rounds: int) -> None:
+    """asof_join vs asof_join_skewed at a 50%-hot key, interleaved
+    min-of-N in one JVM (steal protocol). Output equality is asserted
+    in-run via count + id checksum (full row equality is pinned by
+    pytest; at bench n a sorted collect would dominate the run)."""
+    ev = synth_skewed_events(spark, n, 100_000).localCheckpoint()
+    left = ev.where("event_id % 2 = 0")
+    right = ev.where("event_id % 2 = 1")
+
+    def plain() -> DataFrame:
+        return asof_join(left, right, on="user_id").select(
+            "event_id", "user_id", "asof_event_id"
+        )
+
+    def skewed() -> DataFrame:
+        return asof_join_skewed(
+            left, right, on="user_id", bucket_seconds=86400
+        ).select("event_id", "user_id", "asof_event_id")
+
+    def checksum(df: DataFrame) -> tuple:
+        return tuple(
+            df.agg(
+                F.count("*"),
+                F.sum(F.coalesce(F.col("asof_event_id"), F.lit(-1))),
+                F.sum("event_id"),
+            ).collect()[0]
+        )
+
+    print(f"50%-hot-key as-of A/B, n={n} (1-day buckets):", flush=True)
+    t_plain, t_skewed = [], []
+    for _ in range(rounds):
+        t_plain.append(timed("plain  asof_join", plain()))
+        t_skewed.append(timed("skewed asof_join", skewed()))
+    if checksum(plain()) != checksum(skewed()):
+        print("MISMATCH between plain and skewed as-of outputs")
+        raise SystemExit(1)
+    print("  equality checksum: OK", flush=True)
+    print(
+        f"  min plain={min(t_plain):.2f}s skewed={min(t_skewed):.2f}s "
+        f"ratio={min(t_plain) / min(t_skewed):.2f}x",
+        flush=True,
     )
 
 
@@ -77,20 +140,34 @@ def naive_asof(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 def timed(label: str, df: DataFrame) -> float:
+    """Time a FULL materialization via the noop sink. df.count() is NOT
+    a valid bench action for projection-shaped results: Catalyst prunes
+    unused columns under count, and for the as-of sweep that deletes
+    the Window operator entirely (measured: the optimized count() plan
+    of asof_join has no Window node — the 'sweep' arm was timing scan +
+    filter only). The noop sink computes every output column."""
     t0 = time.monotonic()
-    n = df.count()
+    df.write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
-    print(f"  {label}: {dt:.2f}s ({n} rows)", flush=True)
+    print(f"  {label}: {dt:.2f}s", flush=True)
     return dt
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--skew-rows", type=int, default=16_000_000)
+    ap.add_argument("--skew-rounds", type=int, default=3)
+    ap.add_argument("--skew-only", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("bench-temporal", cpus=32, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.skew_only:
+        skew_ab(spark, args.skew_rows, args.skew_rounds)
+        spark.stop()
+        return 0
 
     # ---- as-of A/B across per-key density, total rows fixed at 2M
     total = 2_000_000
@@ -118,6 +195,9 @@ def main() -> int:
     print(f"n={args.rows}:", flush=True)
     timed("sessionize", sessionize(ev))
     timed("rollup    ", windowed_rollup(ev, "1 hour"))
+
+    # ---- asof skew A/B (VERDICT r5 item 5)
+    skew_ab(spark, args.skew_rows, args.skew_rounds)
     spark.stop()
     return 0
 

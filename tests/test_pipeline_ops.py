@@ -553,6 +553,55 @@ def test_ann_recall_floors(spark):
     assert recall(PQ.q_ann_ivf_trained) >= 0.3
 
 
+def test_ivf_recall_on_clustered_embeddings(spark):
+    """VERDICT r5 item 7: trained-IVF recall@5 measured 0.64/0.52 on
+    STRUCTURELESS synthetic vectors — honestly recorded, but IVF's
+    probe model assumes cluster structure, so that number undersells
+    the operator. Plant unit-norm Gaussian clusters (cross-cluster
+    cosine ~N(0, 1/dim), within-cluster ~1), retrain the codebook
+    there, and pin recall@5 >= 0.9 at the default nprobe=sqrt(k)."""
+    import numpy as np
+
+    from a_tree_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.RandomState(7)
+    k_true, dim, per = 24, 16, 250
+    centers = rng.normal(0.0, 1.0, (k_true, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, per, axis=0) + rng.normal(
+        0.0, 0.08, (k_true * per, dim)
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # permute ids so the N_QUERIES query rows (vec_id < 20) land in
+    # many different clusters instead of all in cluster 0
+    ids = rng.permutation(k_true * per)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in x]) for i, x in zip(ids, X)],
+        "vec_id long, embedding array<float>",
+    )
+    codebook, inertia = train_ivf_codebook(
+        emb, n_centroids=k_true, n_iters=8
+    )
+    assert inertia[-1] <= inertia[0]  # Lloyd's is monotone here
+
+    def top5(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = top5(brute_force_topk(emb))
+    got = top5(ivf_topk(emb, codebook=codebook))
+    total = sum(len(v) for v in truth.values())
+    recall = sum(len(truth[k] & got.get(k, set())) for k in truth) / total
+    print(f"clustered trained-IVF recall@5 = {recall:.3f}")
+    assert recall >= 0.9
+
+
 def test_duplicate_clusters_crafted_graph(spark):
     """Transitive chain a-b-c-d collapses to min id; disjoint pair keeps
     its own label; pointer jumping converges on a path graph (diameter 3

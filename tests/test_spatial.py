@@ -232,6 +232,88 @@ def test_asof_join_semantics_handcrafted(spark):
     assert len(out) == 4           # user 30's rows never leak
 
 
+def test_q_asof_join_skewed(spark):
+    """Driver row: the skew-proof variant under the SAME oracle as
+    asof_join (one spec, two plans)."""
+    df = SQ.q_asof_join_skewed(spark, SF_DIR)
+    assert df.count() > 0
+    assert_matches_duckdb(df, SQ.oracle_asof_join())
+
+
+def test_asof_join_skewed_equals_plain(spark):
+    """Two-phase (bucketed local sweep + per-(key,bucket) carry) ==
+    single-sweep asof_join on real events, with buckets much smaller
+    than the 30-day span so the cross-bucket carry path is exercised
+    on most rows."""
+    from a_tree_spark.pipeline.temporal import asof_join, asof_join_skewed
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").selectExpr(
+        "event_id", "user_id", "ts",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+    )
+    kw = dict(on="user_id", right_vals={"cents": "cents"})
+    plain = sorted(
+        map(tuple, asof_join(purchases, clicks, **kw).collect())
+    )
+    two = sorted(
+        map(
+            tuple,
+            asof_join_skewed(
+                purchases, clicks, bucket_seconds=86400, **kw
+            ).collect(),
+        )
+    )
+    assert two == plain and len(plain) > 0
+
+
+def test_asof_join_skewed_cross_bucket_fixture(spark):
+    """Crafted cross-bucket cases: carry skips EMPTY buckets, picks the
+    last right row of the nearest non-empty earlier bucket, local hits
+    shadow the carry, and a left row before any right row stays NULL."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import asof_join_skewed
+
+    t0 = datetime(2024, 1, 1)
+    bucket = 100  # seconds
+    t = lambda s: t0 + timedelta(seconds=s)
+    # rights: bucket 0 has two (tie at s=50 -> greatest id), buckets
+    # 1-2 empty, bucket 3 has one at s=310
+    right = spark.createDataFrame(
+        [(100, 1, t(50), 7), (101, 1, t(50), 8), (102, 1, t(310), 9)],
+        "event_id long, user_id long, ts timestamp, cents long",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 1, t(10)),    # bucket 0, before any right -> NULL
+            (2, 1, t(60)),    # bucket 0, local hit (tie -> id 101)
+            (3, 1, t(150)),   # bucket 1 (empty) -> carry from bucket 0
+            (4, 1, t(250)),   # bucket 2 (empty) -> still bucket 0's last
+            (5, 1, t(305)),   # bucket 3 before its right -> carry
+            (6, 1, t(320)),   # bucket 3 after its right -> local hit
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_cents"])
+        for r in asof_join_skewed(
+            left, right, on="user_id", right_vals={"cents": "cents"},
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (101, 8)
+    assert out[3] == (101, 8)
+    assert out[4] == (101, 8)
+    assert out[5] == (101, 8)
+    assert out[6] == (102, 9)
+    assert len(out) == 6
+
+
 def test_asof_join_single_shuffle_no_join(spark):
     """The sweep formulation: exactly zero join operators and one
     Exchange (the per-key sort partitioning) in the physical plan."""

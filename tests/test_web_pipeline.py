@@ -326,6 +326,44 @@ def test_sharded_forest_equals_single(spark):
     assert sorted(map(tuple, sharded3.collect())) == a
 
 
+def test_diverse_workload_distinct_roots(spark):
+    """VERDICT r5 item 6: the diverse generator's literals are
+    splitmix64-derived, so distinct expressions == n (the templated
+    standing set CSE-collapses ~27x), and the sharded pipeline on it
+    equals the single forest."""
+    from a_tree_spark.web.pipeline import (
+        count_forest_nodes,
+        diverse_page_subscriptions,
+        run_pipeline,
+    )
+
+    from a_tree_spark.expr import ForestBuilder
+    from a_tree_spark.expr.vector import BatchEvaluator
+    from a_tree_spark.web.pipeline import PAGE_ATTRIBUTES
+
+    n = 3000
+    subs = diverse_page_subscriptions(n)
+    assert len(set(subs.values())) == n
+    # the criterion is FOREST-level: n distinct compiled ROOTS, not
+    # just n distinct strings (CSE could still merge equivalent trees)
+    builder = ForestBuilder(PAGE_ATTRIBUTES)
+    for sub_id, expression in subs.items():
+        builder.insert(sub_id, expression)
+    assert len(BatchEvaluator(builder.compile()).root_nodes) == n
+    # node growth stays ~linear per sub (no template-cycle knee):
+    # count_forest_nodes is what n_shards="auto" consumes
+    assert count_forest_nodes(subs) >= 3 * n
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    single = run_pipeline(spark, N_PAGES, n, strategy="fused",
+                          pages=pages, workload="diverse")
+    sharded = run_pipeline(spark, N_PAGES, n, strategy="fused",
+                           pages=pages, n_shards=2, workload="diverse")
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, sharded.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_sharded_root_guard_raises_on_overflow(spark):
     """The shard-offset root id must never carry into the packed cell
     field: the guard fires when cumulative roots exceed sub_width."""
