@@ -9,6 +9,13 @@ at $SPARK_GRAFT_SF_DIR.
 
 Scaling evidence (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and =32 on
 the same input; scripts/bench_scaling.py writes BENCH/BASELINE.md.
+
+Round-6 protocol change: every timed action is a noop-sink write (full
+materialization of every output column); rounds 1-5 used df.count(),
+under which Catalyst prunes operators the count does not need (the
+as-of sweep's Window vanished entirely). Per-query times are therefore
+not strictly comparable to BENCH_r05 and earlier — where a row got
+slower, suspect the old number, not a regression.
 """
 
 from __future__ import annotations
