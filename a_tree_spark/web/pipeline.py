@@ -766,13 +766,37 @@ def bucketed_page_enrichment(
 #: within 3.5% at equal-or-better throughput.
 SHARD_TARGET_NODES = 50_000
 
+#: throughput cap on the shard count: every shard is one more full
+#: page pass (the fused kernel re-reads and re-extracts per shard) and
+#: one more per-worker broadcast unpickle. Measured at 1M DISTINCT
+#: roots (3.65M nodes, 200k pages, round 6): the uncapped ceil rule
+#: picked 73 shards and ran 1836s; 8 shards ran 444s (4.1x) and 16 ran
+#: 586s — past ~8 the extract/broadcast repay dominates on this box.
+MAX_AUTO_SHARDS = 8
+
+#: capacity floor that overrides the cap: a shard beyond ~600k nodes
+#: (~96 MB pickled evaluator, >0.5 GB unpickled per python worker) is
+#: what OOMed the 128 GB box at k=2 x 1.9M nodes — at 10M+ distinct
+#: roots the shard count must grow past MAX_AUTO_SHARDS because
+#: executor memory, not throughput, binds.
+MAX_NODES_PER_SHARD = 600_000
+
 
 def choose_shards(num_nodes: int) -> int:
-    """Measured sharding guidance: one forest per ~SHARD_TARGET_NODES
-    compiled nodes (ceil). Callers that already built a ForestBuilder
-    can pass ``builder.compile().num_nodes``; 1 for every workload
-    below ~50k nodes (the 100k-sub flagship compiles to ~39k)."""
-    return max(1, -(-num_nodes // SHARD_TARGET_NODES))
+    """Measured sharding guidance. Throughput rule: one forest per
+    ~SHARD_TARGET_NODES compiled nodes (ceil), capped at
+    MAX_AUTO_SHARDS — each shard is a full page pass, and the round-6
+    1M-distinct-root A/B measured the uncapped rule 4.1x slower than
+    the cap. Capacity rule (wins when larger): enough shards that no
+    single broadcast exceeds MAX_NODES_PER_SHARD. Callers that already
+    built a ForestBuilder can pass ``builder.compile().num_nodes``;
+    1 for every workload below ~50k nodes (the 100k-sub flagship
+    compiles to ~39k)."""
+    throughput_k = min(
+        max(1, -(-num_nodes // SHARD_TARGET_NODES)), MAX_AUTO_SHARDS
+    )
+    capacity_k = max(1, -(-num_nodes // MAX_NODES_PER_SHARD))
+    return max(throughput_k, capacity_k)
 
 
 def count_forest_nodes(subscriptions: dict[int, str]) -> int:

@@ -521,15 +521,21 @@ def test_skewed_workload_flips_pruning_on(spark):
 
 
 def test_choose_shards_guidance():
-    """Measured regime (BENCH/BASELINE.md round 5): ~50k nodes per
-    shard. 100k-sub flagship (~39k nodes) -> 1; the 1e6-sub forest
-    (~150k nodes, 24.4 MB) -> 3-4."""
+    """Measured regimes (BENCH/BASELINE.md rounds 5-6): ~50k nodes per
+    shard up to the MAX_AUTO_SHARDS throughput cap (each shard is a
+    full page pass: 73 shards measured 4.1x slower than 8 at 3.65M
+    nodes), and a capacity floor so no shard exceeds
+    MAX_NODES_PER_SHARD (a 1.9M-node shard OOMed the 128 GB box)."""
     from a_tree_spark.web.pipeline import choose_shards
 
     assert choose_shards(1) == 1
     assert choose_shards(39_000) == 1
     assert choose_shards(50_001) == 2
     assert choose_shards(150_000) == 3
+    # throughput cap: the round-6 1M-distinct-root forest
+    assert choose_shards(3_650_000) == 8
+    # capacity floor wins past ~4.8M nodes
+    assert choose_shards(12_000_000) == 20
 
 
 def test_sharded_sub_level_matches_equal_single(spark):
