@@ -35,11 +35,17 @@ from pyspark.sql import DataFrame, functions as F
 #: (see _ckpt_tracked) against concurrent driver threads
 _CKPT_LOCK = threading.Lock()
 
-#: one-slot holder for the previous simhash_near_dup_pairs signature
-#: cache: each invocation unpersists its predecessor, bounding a
-#: long-lived session to ONE cached signature frame (ADVICE r5) while
-#: keeping the current call's self-join backed by the cache
+#: bounded FIFO of simhash_near_dup_pairs signature caches. One slot
+#: (ADVICE r5) broke the driver's construct-then-execute pattern: the
+#: gate builds dedup_simhash_pairs / dedup_clusters / dedup_canonical /
+#: corpus_curation as LAZY frames before materializing any, so slot
+#: eviction on construction unpersisted a cache whose consumer had not
+#: run yet, silently reintroducing the 4x double-compute (ADVICE r6).
+#: Four slots cover that pattern; mutation is lock-guarded (same
+#: concurrent-driver-threads concern as _CKPT_LOCK).
 _SIMHASH_SIG_CACHE: list = []
+_SIMHASH_SIG_SLOTS = 4
+_SIMHASH_SIG_LOCK = threading.Lock()
 
 # 128 seeds in 16 bands of r=8: the LSH S-curve midpoint (1/b)^(1/r) =
 # (1/16)^(1/8) ≈ 0.707 sits exactly at the 0.7 Jaccard threshold — the
@@ -554,14 +560,18 @@ def simhash_near_dup_pairs(
     # sides, and without the cache Spark recomputes the 64-vote
     # explode+aggregate pipeline twice (measured 4x: 2.3-2.8s -> 0.56s
     # at sf0.1). Same pattern as the minhash/rare-shingle caches; at
-    # real scale signatures persist to a table instead. The PREVIOUS
-    # invocation's cache is released here (one-slot discipline): the
-    # result is lazy, so the current cache must outlive this call, but
-    # repeated invocations must not accrue cached blocks (ADVICE r5).
-    while _SIMHASH_SIG_CACHE:
-        _SIMHASH_SIG_CACHE.pop().unpersist(False)
+    # real scale signatures persist to a table instead. Caches from
+    # older invocations are released FIFO once more than
+    # _SIMHASH_SIG_SLOTS accrue: the result is lazy, so a cache must
+    # outlive its call until the consumer materializes — the driver
+    # constructs up to four dedup frames before executing any
+    # (ADVICE r6) — but a long-lived session must not accrue unbounded
+    # cached blocks (ADVICE r5).
     sig = simhash_signatures(corpus).cache()
-    _SIMHASH_SIG_CACHE.append(sig)
+    with _SIMHASH_SIG_LOCK:
+        _SIMHASH_SIG_CACHE.append(sig)
+        while len(_SIMHASH_SIG_CACHE) > _SIMHASH_SIG_SLOTS:
+            _SIMHASH_SIG_CACHE.pop(0).unpersist(False)
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -57,8 +57,14 @@ def main() -> None:
     stats: dict = {}
     t0 = time.time()
     clusters = duplicate_clusters(pairs, stats=stats)
-    n_rows = clusters.count()
+    # noop sink, not count(): the iterative CC rounds materialize via
+    # the loop's own actions either way, but count() lets Catalyst prune
+    # the final projection — keep the timed action on the same protocol
+    # as bench.py's _force (VERDICT r6 item 4)
+    clusters.write.format("noop").mode("overwrite").save()
     wall = round(time.time() - t0, 2)
+    # post-timing: re-derives from the CC loop's internal checkpoint
+    n_rows = clusters.count()
 
     # correctness spot-check: every star collapses to its hub id, every
     # chain to its base id -> component count must equal stars + chains

@@ -83,11 +83,18 @@ def skew_ab(spark, n: int, rounds: int) -> None:
         ).select("event_id", "user_id", "asof_event_id")
 
     def checksum(df: DataFrame) -> tuple:
+        # order-insensitive PER-ROW hash, not column sums: compensating
+        # errors (asof ids permuted across left rows) pass a sum check
+        # but flip xxhash64(event_id, asof_event_id) rows (ADVICE r6)
         return tuple(
             df.agg(
                 F.count("*"),
-                F.sum(F.coalesce(F.col("asof_event_id"), F.lit(-1))),
-                F.sum("event_id"),
+                F.sum(
+                    F.xxhash64(
+                        "event_id",
+                        F.coalesce(F.col("asof_event_id"), F.lit(-1)),
+                    )
+                ),
             ).collect()[0]
         )
 

@@ -63,14 +63,18 @@ def main() -> None:
     root_map = root_subscription_map(spark, forest).cache()
     root_map.count()
 
-    def flagship() -> int:
+    def flagship() -> None:
+        # noop sink, NOT count(): count() lets Catalyst strip aggregate
+        # expressions (HLL sketches, distinct counts) the row count does
+        # not need — the scaling gate must time the full plan, same
+        # protocol as bench.py's _force (VERDICT r6 item 3)
         pages = spark.read.parquet(pages_path).withColumn(
             "page_key", F.monotonically_increasing_id()
         )
-        return cell_stats_from_root_partials(
+        cell_stats_from_root_partials(
             fused_match_pages(pages, forest, emit="cell_root_partials"),
             root_map,
-        ).count()
+        ).write.format("noop").mode("overwrite").save()
 
     # warm every python worker, then one full warm pass (page cache,
     # catalyst plans, broadcast)

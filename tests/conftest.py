@@ -105,11 +105,28 @@ def assert_driver_dtypes(spark_df, oracle_pdf):
             if dt.kind in "iu":
                 continue
             if dt.kind == "f" and bool(oracle_pdf[c].isna().any()):
-                continue  # pandas promotes nullable ints on both sides
+                # pandas promotes nullable ints to float64 on BOTH the
+                # Spark and oracle sides — but ONLY skip when the Spark
+                # field is actually nullable AND every non-null value
+                # round-trips exactly through float64; a nullable
+                # HUGEINT aggregate past 2^53 is precision-lossy in the
+                # driver's hash even though both sides are float64
+                # (ADVICE r6 tightened the blanket NaN bypass)
+                nonnull = oracle_pdf[c].dropna()
+                roundtrips = bool(
+                    len(nonnull) == 0
+                    or (
+                        (nonnull == nonnull.round()).all()
+                        and nonnull.abs().le(2.0**53).all()
+                    )
+                )
+                if fields[c].nullable and roundtrips:
+                    continue
             raise AssertionError(
                 f"{c}: Spark {fields[c].dataType.simpleString()} but "
                 f"oracle pandas dtype {dt} — HUGEINT trap: CAST the "
-                f"oracle aggregate to BIGINT"
+                f"oracle aggregate to BIGINT (nullable-int bypass needs "
+                f"a nullable Spark field and exact float64 round-trip)"
             )
         if family == "float":
             assert dt.kind == "f", f"{c}: Spark float but oracle {dt}"
