@@ -883,3 +883,191 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(want) > 0
+
+
+def test_asof_stream_matches_batch(spark, tmp_path):
+    """Streaming as-of join == batch asof_join on every left row the
+    watermark has finalized. Exercises: carry across triggers (clicks
+    land in batch 0, purchases needing them in batch 1), inclusive <=
+    at equal ts, greatest-right-id tie-break, no-prior-right NULLs, and
+    the event-time-timeout flush (user 3 gets no traffic in the
+    sentinel trigger yet must still emit)."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import asof_join
+    from a_tree_spark.streaming.asof_stream import asof_stream
+
+    t0 = datetime(2024, 1, 1, 12)
+    lschema = "event_id long, user_id long, ts timestamp"
+    rschema = "event_id long, user_id long, ts timestamp, cents long"
+    # batch 0 rights: two clicks at the SAME ts for user 1 (id tie ->
+    # greatest wins), a click exactly AT purchase ts for user 2
+    # (inclusive <=), none for user 3 until later
+    r0 = [
+        (101, 1, t0, 500), (102, 1, t0, 700),
+        (103, 2, t0 + timedelta(minutes=30), 900),
+    ]
+    # batch 0 lefts: user 2's purchase exactly at its click ts; user 3
+    # purchase with NO prior click (NULL asof)
+    l0 = [
+        (1, 2, t0 + timedelta(minutes=30)),
+        (2, 3, t0 + timedelta(minutes=10)),
+    ]
+    # batch 1: user 1 purchase AFTER the tied clicks (carry across
+    # triggers — and after batch 0's watermark, 12:20, so it is not
+    # dropped as late); a click for user 3 then a purchase above it
+    r1 = [(104, 3, t0 + timedelta(minutes=40), 1100)]
+    l1 = [
+        (3, 1, t0 + timedelta(minutes=35)),
+        (4, 3, t0 + timedelta(minutes=50)),
+    ]
+    sentinel = [(9999, 99, datetime(2024, 2, 1))]  # key 99: nobody else's group
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    spark.createDataFrame(l0, lschema).coalesce(1).write.parquet(str(ldir / "b0"))
+    spark.createDataFrame(r0, rschema).coalesce(1).write.parquet(str(rdir / "b0"))
+
+    lstream = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", 1).parquet(str(ldir) + "/*")
+    )
+    rstream = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", 1).parquet(str(rdir) + "/*")
+    )
+    joined = asof_stream(
+        lstream, rstream, on="user_id", right_vals={"cents": "cents"},
+        watermark="10 minutes",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("asof_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(l1, lschema).coalesce(1).write.parquet(str(ldir / "b1"))
+        spark.createDataFrame(r1, rschema).coalesce(1).write.parquet(str(rdir / "b1"))
+        query.processAllAvailable()
+        spark.createDataFrame(sentinel, lschema).coalesce(1).write.parquet(
+            str(ldir / "b2")
+        )
+        query.processAllAvailable()
+        query.processAllAvailable()  # no-data batch fires the timeouts
+    finally:
+        query.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, user_id, ts, asof_event_id, asof_cents "
+            "FROM asof_parity"
+        ).collect()
+        if r["event_id"] != 9999
+    )
+    batch = asof_join(
+        spark.createDataFrame(l0 + l1, lschema),
+        spark.createDataFrame(r0 + r1, rschema),
+        on="user_id",
+        right_vals={"cents": "cents"},
+    ).select("event_id", "user_id", "ts", "asof_event_id", "asof_cents")
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(want) == 4
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][3] == 102            # greatest-id tie-break carried
+    assert by_id[1][3] == 103            # inclusive <= at equal ts
+    assert by_id[2][3] is None           # no prior right -> NULL
+    assert by_id[4][3] == 104            # cross-trigger carry, timeout flush
+
+
+def test_session_stream_local_merge_parity(spark, tmp_path):
+    """The skew-proof form of streaming sessionization: with
+    ``spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition``
+    enabled, Spark merges a hot key's events into sessions BEFORE the
+    state-store shuffle (the streaming analogue of sessionize_skewed's
+    LOCAL phase — per-partition work replaces single-state-partition
+    work). The optimization must be invisible in the output: closed
+    sessions equal the batch sessionize exactly, including a hot key
+    holding most of the events."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import sessionize
+    from a_tree_spark.streaming.session_stream import sessionize_stream
+
+    gap = 3600
+    t0 = datetime(2024, 1, 1, 8)
+    rows = []
+    eid = 0
+    # hot key 1: 3 sessions x 40 events; cold keys 2..5: 1 session x 3
+    for s in range(3):
+        start = t0 + timedelta(hours=10 * s)
+        for k in range(40):
+            rows.append((eid, 1, start + timedelta(seconds=k * 80)))
+            eid += 1
+    for user in (2, 3, 4, 5):
+        start = t0 + timedelta(hours=user)
+        for k in range(3):
+            rows.append((eid, user, start + timedelta(seconds=k * (gap - 5))))
+            eid += 1
+    sentinel = [(9999, 1, datetime(2024, 3, 1))]
+    schema = "event_id long, user_id long, ts timestamp"
+
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(
+        str(src_dir / "b0.parquet")
+    )
+
+    conf_key = (
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
+    )
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        # no maxFilesPerTrigger: all 4 part-files of b0 must land in ONE
+        # trigger — (a) the local merge then really merges across 4
+        # input partitions, (b) splitting them into triggers would let
+        # a later file's watermark drop an earlier file's events
+        stream = spark.readStream.schema(schema).parquet(str(src_dir) + "/*")
+        sessions = sessionize_stream(stream, gap_seconds=gap, watermark="1 hour")
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_localmerge")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+                str(src_dir / "b1.parquet")
+            )
+            query.processAllAvailable()
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events, "
+            "first_event, last_event, duration_s FROM sess_localmerge"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sessionize(spark.createDataFrame(rows, schema), gap_seconds=gap)
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
+            "first_event", "last_event", "duration_s",
+        )
+        .collect()
+    )
+    assert got == want and len(want) == 7  # 3 hot + 4 cold sessions
