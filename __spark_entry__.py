@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats_skewed": SQ.q_trajectory_stats_skewed,
         "cell_day_cube": SQ.q_cell_day_cube,
         "interval_join": SQ.q_interval_join,
+        "cell_compact": SQ.q_cell_compact,
     }
     out.update(PIPELINE_QUERIES)
     return out
@@ -154,5 +155,6 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_stats_skewed": SQ.oracle_trajectory_stats(),
         "cell_day_cube": SQ.oracle_cell_day_cube(),
         "interval_join": SQ.oracle_interval_join(),
+        "cell_compact": SQ.oracle_cell_compact(),
     })
     return out

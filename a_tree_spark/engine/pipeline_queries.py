@@ -105,6 +105,14 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGETS = {"src0": 10**9, "src2": 800}
 
 
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: every document carries
+    its own acceptance permille (3x stopword ratio, clamped), kept iff
+    its hash bucket falls under it — one scan-level filter, no
+    shuffle/join/rng (sampling.quality_weighted_sample)."""
+    return sampling.quality_weighted_sample(_documents(spark, sf_dir))
+
+
 def q_corpus_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(
         _documents(spark, sf_dir), TOKEN_BUDGETS
@@ -230,6 +238,7 @@ PIPELINE_QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "corpus_curation": q_corpus_curation,
     "corpus_sample": q_corpus_sample,
+    "corpus_quality_sample": q_quality_sample,
     "corpus_budget_mix": q_corpus_budget_mix,
     "ann_brute_force": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -292,6 +301,7 @@ PIPELINE_ORACLES = {
     "corpus_sample": sampling.hash_stratified_sample_oracle(
         SAMPLE_FRACTIONS, default_permille=SAMPLE_DEFAULT_PERMILLE
     ),
+    "corpus_quality_sample": sampling.quality_weighted_sample_oracle(),
     "corpus_budget_mix": sampling.token_budget_sample_oracle(TOKEN_BUDGETS),
     "ann_brute_force": similarity.brute_force_oracle(),
     "ann_lsh": similarity.lsh_topk_oracle(n_rows=GATE_EMBEDDINGS_ROWS),

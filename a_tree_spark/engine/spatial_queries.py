@@ -485,3 +485,30 @@ def q_trajectory_stats_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{POINT_LON_SQL} AS lon",
     )
     return trajectory_stats_skewed(pts, bucket_seconds=86400)
+
+
+# ------------------------------------------------ cell-cover compaction
+
+COMPACT_BASE_LEVEL = 5   # 32x32 base grid: 736 occupied cells at sf0.01,
+COMPACT_MIN_LEVEL = 3    # 32 full level-4 parents -> promotions exercised
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-resolution compaction of the event points' cell cover
+    (H3 `compact` idiom): a parent cell replaces its 4 children iff
+    all 4 are covered, cascading base_level -> min_level; output is
+    the unique minimal (level, cell_id) cover. One distinct over the
+    scan, then cell-relation-sized aggregations only."""
+    from ..spatial.ops import compact_cell_cover
+
+    return compact_cell_cover(
+        event_points(spark, sf_dir), COMPACT_BASE_LEVEL, COMPACT_MIN_LEVEL
+    )
+
+
+def oracle_cell_compact() -> str:
+    from ..spatial.ops import compact_cell_cover_oracle_sql
+
+    return compact_cell_cover_oracle_sql(
+        _points_cte(), COMPACT_BASE_LEVEL, COMPACT_MIN_LEVEL
+    )

@@ -179,3 +179,58 @@ SELECT d.doc_id, d.source, pm.permille
 FROM {table} d JOIN pm USING (source)
 WHERE {_bucket_sql('duckdb', salt)} * 1000 < pm.permille * {BUCKETS}
 """.strip()
+
+
+# --------------------------------------- quality-weighted resampling
+
+
+def quality_permille_sql() -> str:
+    """Per-document acceptance permille derived from the shared quality
+    components (``text.quality_components_sql``): 3x the stopword
+    ratio, clamped to [0, 1000] — documents that read like natural
+    prose (stopword-dense) are kept with proportionally higher
+    probability, boilerplate/token-soup with lower. Integer-exact and
+    dialect-shared (FLOOR/length/replace only), so Spark and DuckDB
+    compute the identical threshold."""
+    from .text import N_STOPWORDS_SQL, N_TOKENS_SQL
+
+    ratio = (
+        f"CASE WHEN {N_TOKENS_SQL} = 0 THEN 0 ELSE "
+        f"FLOOR(({N_STOPWORDS_SQL} * 1000) / {N_TOKENS_SQL}) END"
+    )
+    return f"CAST(LEAST(1000, ({ratio}) * 3) AS BIGINT)"
+
+
+def quality_weighted_sample(documents: DataFrame, salt: int = 11) -> DataFrame:
+    """Importance resampling by text quality — the per-document
+    generalization of ``hash_stratified_sample``: instead of one
+    permille per stratum, every document carries its OWN acceptance
+    threshold (``quality_permille_sql``), and is kept iff its hash
+    bucket falls under it. This is the standard quality-weighted
+    sampling step of LLM training-data pipelines (CCNet-style: sample
+    in proportion to a quality score rather than hard-filtering),
+    made deterministic and engine-portable.
+
+    Plan shape at 100 TB: still a single scan-level filter — the
+    quality expression and the hash compare are one Catalyst
+    predicate, no shuffle, no join, no rng state; raising the weight
+    multiplier strictly grows the sample (nested thresholds, same
+    property as the stratified form). Unlike rejection sampling with
+    rng, re-running on a grown corpus keeps every previously sampled
+    doc_id."""
+    pm = quality_permille_sql()
+    keep = f"{_bucket_sql('spark', salt)} * 1000 < ({pm}) * {BUCKETS}"
+    return documents.where(F.expr(keep)).select(
+        "doc_id", F.expr(pm).alias("quality_permille")
+    )
+
+
+def quality_weighted_sample_oracle(
+    salt: int = 11, table: str = "documents"
+) -> str:
+    pm = quality_permille_sql()
+    keep = f"{_bucket_sql('duckdb', salt)} * 1000 < ({pm}) * {BUCKETS}"
+    return (
+        f"SELECT doc_id, {pm} AS quality_permille "
+        f"FROM {table} WHERE {keep}"
+    )

@@ -498,3 +498,130 @@ def trajectory_stats_skewed(
         F.min("min_lon_micro").alias("min_lon_micro"),
         F.max("max_lon_micro").alias("max_lon_micro"),
     )
+
+
+# ------------------------------------------------ cell-cover compaction
+
+
+def _cell_xy_sql(lat_expr: str, lon_expr: str, level: int) -> tuple[str, str]:
+    """Grid x/y at ``level`` — the two halves of cells.cell_id_sql,
+    dialect-shared (FLOOR/LEAST/GREATEST on IEEE doubles)."""
+    n = grid_size(level)
+    x = (
+        f"CAST(LEAST(GREATEST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}), 0),"
+        f" {n - 1}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(LEAST(GREATEST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}), 0),"
+        f" {n - 1}) AS BIGINT)"
+    )
+    return x, y
+
+
+def compact_cell_cover(
+    points: DataFrame,
+    base_level: int,
+    min_level: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Mixed-resolution compaction of a point set's cell cover — the
+    H3 ``compact`` / S2 covering-normalization idiom on the GLQ grid
+    (quad hierarchy: level-l cell (x, y) has parent (x DIV 2, y DIV 2)
+    at l-1). A parent replaces its 4 children iff ALL 4 are fully
+    covered, cascading from ``base_level`` up to ``min_level``; the
+    result is the unique minimal mixed-level cover: output rows are
+    (level, cell_id) with no cell an ancestor of another and the union
+    of footprints exactly equal to the occupied base cells.
+
+    Scale shape: ONE pass over the points (a map-side-combined
+    distinct on the scan) reduces the input to occupied cells; every
+    later step operates on the cell relation, whose size is bounded by
+    4^base_level regardless of point count. Each promotion level is a
+    groupBy on the shrinking parent key (cells only), and each output
+    level is one broadcast-friendly anti-join against the next-coarser
+    full set — at 10^12 points the compaction costs the distinct plus
+    (base_level - min_level) tiny aggregations.
+    """
+    if not (0 <= min_level < base_level):
+        raise ValueError(
+            f"need 0 <= min_level < base_level, got {min_level}, {base_level}"
+        )
+    x_sql, y_sql = _cell_xy_sql(lat_col, lon_col, base_level)
+    full: dict[int, DataFrame] = {
+        base_level: points.selectExpr(
+            f"{x_sql} AS x", f"{y_sql} AS y"
+        ).distinct()
+    }
+    for lvl in range(base_level - 1, min_level - 1, -1):
+        full[lvl] = (
+            full[lvl + 1]
+            .selectExpr("x DIV 2 AS x", "y DIV 2 AS y")
+            .groupBy("x", "y")
+            .count()
+            .where("count = 4")
+            .select("x", "y")
+        )
+    pieces = []
+    for lvl in range(min_level, base_level + 1):
+        cells = full[lvl]
+        if lvl > min_level:
+            parents = full[lvl - 1].selectExpr(
+                "x AS px", "y AS py"
+            )
+            cells = (
+                cells.join(
+                    parents,
+                    (F.expr("x DIV 2") == F.col("px"))
+                    & (F.expr("y DIV 2") == F.col("py")),
+                    "left_anti",
+                )
+            )
+        pieces.append(
+            cells.selectExpr(
+                f"CAST({lvl} AS INT) AS level",
+                f"CAST(y * {grid_size(lvl)} + x AS BIGINT) AS cell_id",
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_cell_cover_oracle_sql(
+    points_sql: str,
+    base_level: int,
+    min_level: int,
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """The identical cascade as chained DuckDB CTEs (`//` is DuckDB's
+    integer division where Spark uses DIV; everything else is shared
+    text). ``points_sql`` must yield ``lat_expr``/``lon_expr``."""
+    x_sql, y_sql = _cell_xy_sql(lat_expr, lon_expr, base_level)
+    ctes = [
+        f"f{base_level} AS (SELECT DISTINCT {x_sql} AS x, {y_sql} AS y "
+        f"FROM ({points_sql}))"
+    ]
+    for lvl in range(base_level - 1, min_level - 1, -1):
+        ctes.append(
+            f"f{lvl} AS (SELECT x // 2 AS x, y // 2 AS y FROM f{lvl + 1} "
+            f"GROUP BY 1, 2 HAVING COUNT(*) = 4)"
+        )
+    selects = []
+    for lvl in range(min_level, base_level + 1):
+        anti = (
+            ""
+            if lvl == min_level
+            else (
+                f" ANTI JOIN f{lvl - 1} p ON f{lvl}.x // 2 = p.x "
+                f"AND f{lvl}.y // 2 = p.y"
+            )
+        )
+        selects.append(
+            f"SELECT CAST({lvl} AS INT) AS level, "
+            f"CAST(f{lvl}.y * {grid_size(lvl)} + f{lvl}.x AS BIGINT) AS cell_id "
+            f"FROM f{lvl}{anti}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -21,6 +21,7 @@ def test_oracle_queries_nonempty(spark):
     for name in ["text_features", "dedup_exact", "dedup_ngram_jaccard",
                  "dedup_minhash_lsh", "dedup_simhash_pairs",
                  "dedup_clusters", "corpus_curation", "corpus_sample",
+                 "corpus_quality_sample",
                  "embedding_dup_clusters", "media_resize",
                  "ann_brute_force", "ann_lsh", "ann_ivf",
                  "ann_ivf_trained", "media_metadata"]:

@@ -561,3 +561,67 @@ def test_trajectory_skewed_equals_plain(spark):
              "min_lat_micro", "max_lat_micro",
              "min_lon_micro", "max_lon_micro").collect()))
     assert two == plain and len(plain) > 0
+
+
+def test_q_cell_compact(spark):
+    df = SQ.q_cell_compact(spark, SF_DIR)
+    assert_matches_duckdb(df, SQ.oracle_cell_compact())
+
+
+def test_cell_compact_footprint_exact(spark):
+    """The compacted cover is lossless: expanding every output cell
+    back to base level reproduces EXACTLY the occupied base cells —
+    no gap, no overreach, no overlap."""
+    from a_tree_spark.spatial.ops import compact_cell_cover
+
+    base, lo = SQ.COMPACT_BASE_LEVEL, SQ.COMPACT_MIN_LEVEL
+    pts = SQ.event_points(spark, SF_DIR)
+    out = compact_cell_cover(pts, base, lo).collect()
+    nb = 1 << base
+    occupied = {
+        (r["x"], r["y"])
+        for r in pts.selectExpr(
+            f"CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nb}), 0), {nb - 1}) AS BIGINT) AS x",
+            f"CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {nb}), 0), {nb - 1}) AS BIGINT) AS y",
+        ).distinct().collect()
+    }
+    footprint = set()
+    for r in out:
+        n = 1 << r["level"]
+        y, x = r["cell_id"] // n, r["cell_id"] % n
+        f = 1 << (base - r["level"])
+        for dy in range(f):
+            for dx in range(f):
+                cell = (x * f + dx, y * f + dy)
+                assert cell not in footprint, "overlapping cover cells"
+                footprint.add(cell)
+    assert footprint == occupied
+
+
+def test_cell_compact_deep_cascade(spark):
+    """A fully covered 8x8 base-3 block must cascade level 3 -> 2 -> 1
+    -> 0 into the single level-0 root cell; one extra isolated cell in
+    a different base cell stays at base level... except at base 3 every
+    cell shares root 0 — so craft the isolated point OUTSIDE a 4x4
+    sub-block at base 2 instead: fill cells (0..3, 0..3) of the 8x8
+    grid (one full level-1 cell after two promotions) plus cell (7, 7)
+    which must surface at level 3 untouched."""
+    from a_tree_spark.spatial.ops import compact_cell_cover
+
+    n = 8  # base level 3
+    pts = []
+    for y in range(4):
+        for x in range(4):
+            pts.append((
+                (y + 0.5) / n * 180.0 - 90.0,
+                (x + 0.5) / n * 360.0 - 180.0,
+            ))
+    pts.append(((7 + 0.5) / n * 180.0 - 90.0, (7 + 0.5) / n * 360.0 - 180.0))
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = sorted(
+        (r["level"], r["cell_id"])
+        for r in compact_cell_cover(df, base_level=3, min_level=0).collect()
+    )
+    # (0..3, 0..3) at level 3 -> 4 full parents at level 2 -> 1 full
+    # cell at level 1 (x=0, y=0 -> id 0); (7,7) stays: id 7*8+7 = 63
+    assert got == [(1, 0), (3, 63)]
