@@ -94,6 +94,10 @@ def main() -> None:
         "subscriptions; extract -> geotag -> cell encode -> vectorized "
         "match -> root-level in-kernel partials -> per-cell stats with "
         "post-shuffle subscription expansion; single fused Python stage.",
+        "Timed action: noop-sink write (full materialization — count()",
+        "lets Catalyst strip aggregate expressions the row count does",
+        "not need; VERDICT r6 item 3 re-landed this gate under the",
+        "same protocol as every other bench).",
         "",
         "| parallelism | best docs/sec | best sec | all runs |",
         "|---|---|---|---|",
