@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_day_cube": SQ.q_cell_day_cube,
         "interval_join": SQ.q_interval_join,
         "cell_compact": SQ.q_cell_compact,
+        "spatial_cluster": SQ.q_spatial_cluster,
+        "od_flows": SQ.q_od_flows,
     }
     out.update(PIPELINE_QUERIES)
     return out
@@ -156,5 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_day_cube": SQ.oracle_cell_day_cube(),
         "interval_join": SQ.oracle_interval_join(),
         "cell_compact": SQ.oracle_cell_compact(),
+        "spatial_cluster": SQ.oracle_spatial_cluster(),
+        "od_flows": SQ.oracle_od_flows(),
     })
     return out

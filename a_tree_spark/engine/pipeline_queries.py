@@ -326,3 +326,21 @@ PIPELINE_ORACLES = {
     "media_resize": multimodal.resize_media_oracle(),
 }
 
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import domain_corpus, domain_stats
+
+    return domain_stats(domain_corpus(_documents(spark, sf_dir)))
+
+
+def _domain_stats_oracle() -> str:
+    from ..pipeline.text import DOMAIN_CORPUS_SQL, domain_stats_oracle_sql
+
+    return domain_stats_oracle_sql(
+        f"({DOMAIN_CORPUS_SQL.format(table='documents')})"
+    )
+
+
+PIPELINE_QUERIES["domain_stats"] = q_domain_stats
+PIPELINE_ORACLES["domain_stats"] = _domain_stats_oracle()

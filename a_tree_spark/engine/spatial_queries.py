@@ -512,3 +512,59 @@ def oracle_cell_compact() -> str:
     return compact_cell_cover_oracle_sql(
         _points_cte(), COMPACT_BASE_LEVEL, COMPACT_MIN_LEVEL
     )
+
+
+# ------------------------------------------------- grid density clustering
+
+CLUSTER_LEVEL = 6    # avg ~7 pts/cell at sf0.01 — a real core/noise split
+CLUSTER_MIN_PTS = 8  # 646 core cells -> 192 clusters at sf0.01 (merging
+                     # and singletons both exercised)
+
+
+def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style grid clustering (spatial/ops.py::grid_cluster):
+    density-core cells + 8-adjacency connected components, labels
+    joined back to the points. The component step reuses the dedup
+    CC machinery — log-round label propagation over the CELL relation
+    (never the points)."""
+    from ..spatial.ops import grid_cluster
+
+    return grid_cluster(
+        event_points(spark, sf_dir), CLUSTER_LEVEL, CLUSTER_MIN_PTS
+    )
+
+
+def oracle_spatial_cluster() -> str:
+    from ..spatial.ops import grid_cluster_oracle_sql
+
+    return grid_cluster_oracle_sql(
+        _points_cte(), CLUSTER_LEVEL, CLUSTER_MIN_PTS
+    )
+
+
+# ---------------------------------------------- origin-destination flows
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-anchor origin-destination matrix (pipeline/temporal.py::
+    od_flows): ONE event-sized aggregation; lag + flow counting run on
+    the user-day anchor relation."""
+    from ..pipeline.temporal import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        f"{cell_id_sql(POINT_LAT_SQL, POINT_LON_SQL, JOIN_LEVEL)} AS cell_id",
+    )
+    return od_flows(ev)
+
+
+def oracle_od_flows() -> str:
+    from ..pipeline.temporal import od_flows_oracle_sql
+
+    return od_flows_oracle_sql(
+        f"SELECT event_id, user_id, ts, "
+        f"{cell_id_sql(POINT_LAT_SQL, POINT_LON_SQL, JOIN_LEVEL)} AS cell_id "
+        f"FROM events"
+    )

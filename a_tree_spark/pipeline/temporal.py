@@ -566,3 +566,83 @@ def sessionize_skewed(
     ).withColumn(
         "duration_s", F.col("session_end") - F.col("session_start")
     )
+
+
+# --------------------------------------------- origin-destination flows
+
+EPOCH_DAY_SQL = (
+    "CAST(FLOOR(CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) / 86400) AS BIGINT)"
+)
+
+
+def od_flows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    cell_col: str = "cell_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Origin-destination flow matrix: where do users start each day,
+    and how do those anchors move between consecutive OBSERVED days?
+    Each user's daily anchor is the cell of the day's first event
+    (earliest ts, ties to the smallest id — deterministic); a flow is
+    the (from_cell -> to_cell) transition between a user's successive
+    anchor days, counted over all users.
+
+    Scale shape (100 TB): the only event-sized operation is the
+    per-(user, day) anchor aggregation — min over a (ts, id, cell)
+    struct (lexicographic struct order = event order, the
+    trajectory_stats_skewed trick), map-side combined, ONE shuffle.
+    The lag window and the flow groupBy run over the user-day anchor
+    relation, orders of magnitude smaller than the events. A hot user
+    is bounded by their day count, not their event count.
+    """
+    day = EPOCH_DAY_SQL.format(ts=ts_col)
+    anchors = (
+        events.selectExpr(key_col, f"{day} AS day", ts_col, id_col, cell_col)
+        .groupBy(key_col, "day")
+        .agg(F.min(F.struct(ts_col, id_col, cell_col)).alias("s"))
+        .select(key_col, "day", F.col(f"s.{cell_col}").alias("to_cell"))
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    moves = anchors.select(
+        key_col, "to_cell", F.lag("to_cell").over(w).alias("from_cell")
+    ).where(F.col("from_cell").isNotNull())
+    return moves.groupBy("from_cell", "to_cell").agg(
+        F.count("*").alias("n_moves"),
+        F.countDistinct(key_col).alias("n_users"),
+    )
+
+
+def od_flows_oracle_sql(
+    events_sql: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    cell_col: str = "cell_id",
+    id_col: str = "event_id",
+) -> str:
+    """Spec form: ROW_NUMBER picks each day's first event (same ts, id
+    tie-break), LAG walks consecutive observed days."""
+    day = f"CAST(FLOOR(epoch({ts_col}) / 86400) AS BIGINT)"
+    return f"""
+WITH ev AS ({events_sql}),
+anchors AS (
+    SELECT {key_col}, day, {cell_col} AS to_cell FROM (
+        SELECT {key_col}, {day} AS day, {cell_col},
+               ROW_NUMBER() OVER (
+                   PARTITION BY {key_col}, {day}
+                   ORDER BY {ts_col}, {id_col}
+               ) AS rn
+        FROM ev
+    ) q WHERE rn = 1
+),
+moves AS (
+    SELECT {key_col}, to_cell,
+           LAG(to_cell) OVER (PARTITION BY {key_col} ORDER BY day) AS from_cell
+    FROM anchors
+)
+SELECT from_cell, to_cell, COUNT(*) AS n_moves,
+       COUNT(DISTINCT {key_col}) AS n_users
+FROM moves WHERE from_cell IS NOT NULL
+GROUP BY from_cell, to_cell
+""".strip()

@@ -354,3 +354,93 @@ SELECT doc_id, token, tf, df, score_x1e6, rank FROM (
     FROM tf JOIN dfm USING (token)
 ) WHERE rank <= {top_n}
 """.strip()
+
+
+# ------------------------------------------------- domain-level curation
+
+#: domain gates: spammy domains are dominated by exact duplicates,
+#: low-value domains by sub-quality documents — both the standard
+#: web-corpus curation knobs, applied at the SOURCE level (doc-level
+#: gates live in corpus_curation)
+DOMAIN_MAX_DUP_PERMILLE = 300
+DOMAIN_MIN_QUALITY_PERMILLE = 750
+
+
+def domain_stats(
+    documents: DataFrame,
+    max_dup_permille: int = DOMAIN_MAX_DUP_PERMILLE,
+    min_quality_permille: int = DOMAIN_MIN_QUALITY_PERMILLE,
+) -> DataFrame:
+    """Per-source (domain) curation rollup: document counts, the exact
+    duplicate rate (distinct md5 fingerprints vs rows), quality-doc
+    rate, mean length — and the keep/drop gate a corpus pipeline
+    applies BEFORE doc-level dedup (dropping a spam domain wholesale is
+    cheaper than pairing its documents).
+
+    Integer-exact permille ratios (FLOOR division) so both engines
+    agree bit-for-bit. ONE aggregation keyed by source; at 100 TB the
+    domain relation (~1e7 rows for the web) is output-sized, every
+    stat has a map-side partial (COUNT DISTINCT md5 goes through
+    Spark's partial-distinct expansion — still one logical pass).
+    """
+    agg = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.expr(FINGERPRINT_SQL)).alias("n_uniq"),
+        F.sum(F.expr(f"CAST({IS_QUALITY_SQL} AS INT)")).alias("n_quality"),
+        F.sum(F.expr("CAST(length(text) AS BIGINT)")).alias("sum_chars"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_docs",
+        "n_uniq",
+        "CAST(FLOOR(((n_docs - n_uniq) * 1000) / n_docs) AS BIGINT) AS dup_permille",
+        "CAST(FLOOR((n_quality * 1000) / n_docs) AS BIGINT) AS quality_permille",
+        "CAST(FLOOR(sum_chars / n_docs) AS BIGINT) AS mean_chars",
+        f"(FLOOR(((n_docs - n_uniq) * 1000) / n_docs) <= {max_dup_permille} "
+        f"AND FLOOR((n_quality * 1000) / n_docs) >= {min_quality_permille}) "
+        f"AS keep_domain",
+    )
+
+
+def domain_stats_oracle_sql(
+    table: str = "documents",
+    max_dup_permille: int = DOMAIN_MAX_DUP_PERMILLE,
+    min_quality_permille: int = DOMAIN_MIN_QUALITY_PERMILLE,
+) -> str:
+    return f"""
+WITH agg AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT {FINGERPRINT_SQL}) AS n_uniq,
+           CAST(SUM(CAST({IS_QUALITY_SQL} AS INT)) AS BIGINT) AS n_quality,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM {table} GROUP BY source
+)
+SELECT source, n_docs, n_uniq,
+       CAST(FLOOR(((n_docs - n_uniq) * 1000) / n_docs) AS BIGINT) AS dup_permille,
+       CAST(FLOOR((n_quality * 1000) / n_docs) AS BIGINT) AS quality_permille,
+       CAST(FLOOR(sum_chars / n_docs) AS BIGINT) AS mean_chars,
+       (FLOOR(((n_docs - n_uniq) * 1000) / n_docs) <= {max_dup_permille}
+        AND FLOOR((n_quality * 1000) / n_docs) >= {min_quality_permille})
+       AS keep_domain
+FROM agg
+""".strip()
+
+
+#: derived corpus for the domain gate: plants a full copy of every
+#: document whose source suffix % 3 == 0 — those domains land at 500
+#: permille duplicates (gate fails), the rest at 0 (gate holds); with
+#: the 750 quality floor all three gate outcomes occur at both test dirs
+DOMAIN_CORPUS_SQL = (
+    "SELECT source, text FROM {table} "
+    "UNION ALL "
+    "SELECT source, text FROM {table} "
+    "WHERE CAST(substr(source, 4) AS INT) % 3 = 0"
+)
+
+
+def domain_corpus(documents: DataFrame) -> DataFrame:
+    documents.createOrReplaceTempView("_domain_base")
+    return documents.sparkSession.sql(
+        DOMAIN_CORPUS_SQL.format(table="_domain_base")
+    )

@@ -625,3 +625,129 @@ def compact_cell_cover_oracle_sql(
             f"FROM f{lvl}{anti}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ------------------------------------------------------ grid clustering
+
+
+def grid_cluster(
+    points: DataFrame,
+    level: int,
+    min_pts: int,
+    id_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """DBSCAN-style density clustering on the GLQ grid: a cell is CORE
+    when >= ``min_pts`` points land in it; core cells that are
+    8-adjacent merge into one cluster (connected components); every
+    point in a core cell gets its cluster label (min cell_id reachable
+    through adjacent core cells — deterministic, order-free). Points in
+    sparse cells are noise and are dropped. This is the standard
+    scalable approximation of DBSCAN (grid variant: cell side plays
+    eps, per-cell count plays the neighborhood threshold) — exact
+    point-radius DBSCAN needs an all-pairs range join; the grid form
+    needs ONE aggregation over the points.
+
+    Scale shape (100 TB): the only point-sized operations are the
+    per-cell count (map-side combined, one shuffle on cell_id) and the
+    final label join (the core-cell label relation is bounded by the
+    occupied-cell count, broadcast-able in practice; AQE decides).
+    Adjacency is an equi-join of the core-cell relation against itself
+    on 4 forward neighbor ids (each unordered 8-adjacent pair generated
+    once), and component resolution reuses ``duplicate_clusters`` —
+    O(log diameter) rounds over the CELL relation, never the points.
+    A hot cell is just a big count — skew never concentrates rows.
+
+    Output: (``id_col``, cell_id, cluster_id) for points in core cells.
+    """
+    from ..pipeline.dedup import duplicate_clusters
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    n = grid_size(level)
+    pts = points.selectExpr(
+        id_col, f"{cell_id_sql(lat_col, lon_col, level)} AS cell_id"
+    )
+    core = (
+        pts.groupBy("cell_id")
+        .agg(F.count("*").alias("n_pts"))
+        .where(F.col("n_pts") >= min_pts)
+        .select("cell_id")
+    )
+    # forward half of the 8-neighborhood: E, SW, S, SE — each unordered
+    # adjacent pair appears exactly once. Guards clamp at the grid edge
+    # (x arithmetic on raw ids would wrap row-major across rows).
+    nbrs = []
+    for dx, dy in ((1, 0), (-1, 1), (0, 1), (1, 1)):
+        nbrs.append(
+            f"IF(x + {dx} >= 0 AND x + {dx} < {n} AND y + {dy} < {n}, "
+            f"(y + {dy}) * {n} + (x + {dx}), NULL)"
+        )
+    edges = (
+        core.selectExpr("cell_id", f"cell_id % {n} AS x", f"cell_id DIV {n} AS y")
+        .select(
+            "cell_id",
+            F.explode(F.array(*[F.expr(e) for e in nbrs])).alias("nbr"),
+        )
+        .where(F.col("nbr").isNotNull())
+        .join(core.select(F.col("cell_id").alias("nbr")), "nbr")
+        .select(F.col("cell_id").alias("doc_a"), F.col("nbr").alias("doc_b"))
+    )
+    labels = duplicate_clusters(edges).select(
+        F.col("doc_id").alias("cell_id"), "cluster_id"
+    )
+    # isolated core cells (no adjacent core neighbor) are their own
+    # singleton cluster: label = own cell id
+    core_labels = core.join(labels, "cell_id", "left").select(
+        "cell_id", F.coalesce("cluster_id", "cell_id").alias("cluster_id")
+    )
+    return pts.join(core_labels, "cell_id").select(id_col, "cell_id", "cluster_id")
+
+
+def grid_cluster_oracle_sql(
+    points_sql: str,
+    level: int,
+    min_pts: int,
+    id_col: str = "event_id",
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """DuckDB mirror in spec form: core cells by HAVING, adjacency as a
+    coordinate-delta self-join (wrap-safe by construction — x/y are
+    derived per cell, so no edge guard is needed), components via the
+    shared recursive-CTE closure, singletons by COALESCE."""
+    from ..pipeline.dedup import clusters_oracle_from_pairs
+
+    n = grid_size(level)
+    # the shared closure emits its own WITH RECURSIVE; used as a
+    # parenthesized subquery it may reference our outer grid_edges CTE
+    # (DuckDB scopes outer CTEs into subqueries), and its internal CTE
+    # names (pairs/edges/reach) stay local — no collision with ours
+    closure = clusters_oracle_from_pairs(
+        "SELECT doc_a, doc_b FROM grid_edges", out_id="cell_id"
+    )
+    return f"""
+WITH pts AS ({points_sql}),
+cells AS (
+    SELECT {id_col}, {cell_id_sql(lat_expr, lon_expr, level)} AS cell_id FROM pts
+),
+core AS (
+    SELECT cell_id FROM cells GROUP BY cell_id HAVING COUNT(*) >= {min_pts}
+),
+xy AS (SELECT cell_id, cell_id % {n} AS x, cell_id // {n} AS y FROM core),
+grid_edges AS (
+    SELECT a.cell_id AS doc_a, b.cell_id AS doc_b
+    FROM xy a JOIN xy b
+      ON (b.x = a.x + 1 AND b.y = a.y)
+      OR (b.x = a.x - 1 AND b.y = a.y + 1)
+      OR (b.x = a.x     AND b.y = a.y + 1)
+      OR (b.x = a.x + 1 AND b.y = a.y + 1)
+),
+labels AS (SELECT * FROM ({closure}) closure_q)
+SELECT c.{id_col}, c.cell_id,
+       COALESCE(l.cluster_id, c.cell_id) AS cluster_id
+FROM cells c
+JOIN core k ON k.cell_id = c.cell_id
+LEFT JOIN labels l ON l.cell_id = c.cell_id
+""".strip()

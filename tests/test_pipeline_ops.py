@@ -919,3 +919,25 @@ def test_tfidf_handcrafted(spark):
     # doc 2: unique x (1e6) beats common (tf 1, df 3 -> 333333)
     assert rows[(2, 1)] == ("x", 1_000_000)
     assert rows[(2, 2)] == ("common", 333_333)
+
+
+def test_domain_stats_gate_discriminates(spark):
+    """All three gate outcomes occur on the sf0.01 corpus: dup-heavy
+    domains fail on dup_permille, low-stopword domains fail on
+    quality_permille, and at least one domain passes both."""
+    from a_tree_spark.engine.pipeline_queries import q_domain_stats
+    from a_tree_spark.pipeline.text import (
+        DOMAIN_MAX_DUP_PERMILLE as MAX_DUP,
+        DOMAIN_MIN_QUALITY_PERMILLE as MIN_Q,
+    )
+
+    rows = q_domain_stats(spark, SF_DIR).collect()
+    dup_fail = [r for r in rows if r.dup_permille > MAX_DUP]
+    qual_fail = [r for r in rows if r.dup_permille <= MAX_DUP
+                 and r.quality_permille < MIN_Q]
+    kept = [r for r in rows if r.keep_domain]
+    assert dup_fail and qual_fail and kept
+    for r in rows:
+        assert r.keep_domain == (
+            r.dup_permille <= MAX_DUP and r.quality_permille >= MIN_Q
+        )

@@ -625,3 +625,100 @@ def test_cell_compact_deep_cascade(spark):
     # (0..3, 0..3) at level 3 -> 4 full parents at level 2 -> 1 full
     # cell at level 1 (x=0, y=0 -> id 0); (7,7) stays: id 7*8+7 = 63
     assert got == [(1, 0), (3, 63)]
+
+
+# ------------------------------------------------- grid density clustering
+
+
+def test_q_spatial_cluster(spark):
+    assert_matches_duckdb(
+        SQ.q_spatial_cluster(spark, SF_DIR), SQ.oracle_spatial_cluster()
+    )
+
+
+def test_grid_cluster_semantics(spark):
+    """Crafted DBSCAN-grid case: E/diagonal merging, singleton core
+    cells, noise dropping, and row-major wrap-safety (ids y*n+(n-1) and
+    (y+1)*n+0 are consecutive integers but NOT neighbors)."""
+    from a_tree_spark.spatial.ops import grid_cluster
+
+    level = 3
+    n = grid_size(level)
+
+    def pt(pid, y, x):
+        lat, lon = cell_center(np.array([y * n + x]), level)
+        return (pid, float(lat[0]), float(lon[0]))
+
+    rows = []
+    pid = 0
+    # A=(1,1) core, B=(1,2) core E-adjacent, C=(2,3) core SE-diagonal
+    # of B -> one merged cluster labeled min cell id (cell A)
+    for cell, k in [((1, 1), 3), ((1, 2), 2), ((2, 3), 2)]:
+        for _ in range(k):
+            rows.append(pt(pid, *cell)); pid += 1
+    # D=(5, 5): isolated core -> singleton cluster labeled itself
+    for _ in range(2):
+        rows.append(pt(pid, 5, 5)); pid += 1
+    # sparse cell (6, 0): one point -> noise, dropped
+    rows.append(pt(pid, 6, 0)); pid += 1
+    # wrap probe: (3, n-1) and (4, 0) both core; consecutive ids,
+    # not adjacent -> two distinct singleton clusters
+    for cell in [(3, n - 1), (4, 0)]:
+        for _ in range(2):
+            rows.append(pt(pid, *cell)); pid += 1
+
+    points = spark.createDataFrame(rows, ["event_id", "lat", "lon"])
+    got = {
+        r.event_id: (r.cell_id, r.cluster_id)
+        for r in grid_cluster(points, level, 2).collect()
+    }
+    cid = lambda y, x: y * n + x
+    merged = cid(1, 1)
+    assert len(got) == 13 and 9 not in got  # noise point absent
+    for e in range(7):
+        assert got[e][1] == merged
+    assert got[7] == (cid(5, 5), cid(5, 5))
+    assert got[8] == (cid(5, 5), cid(5, 5))
+    assert got[10][1] == cid(3, n - 1) and got[11][1] == cid(3, n - 1)
+    assert got[12][1] == cid(4, 0) and got[13][1] == cid(4, 0)
+    assert got[10][1] != got[12][1]
+
+
+# --------------------------------------------- origin-destination flows
+
+
+def test_q_od_flows(spark):
+    assert_matches_duckdb(SQ.q_od_flows(spark, SF_DIR), SQ.oracle_od_flows())
+
+
+def test_od_flows_semantics(spark):
+    """Anchor = day's first event (ts, then id tie-break); flows walk
+    consecutive OBSERVED days (calendar gaps allowed); single-day users
+    contribute nothing."""
+    import datetime as dt
+
+    from a_tree_spark.pipeline.temporal import od_flows
+
+    utc = dt.timezone.utc
+    t = lambda d, h: dt.datetime(2024, 1, 1 + d, h, tzinfo=utc)
+    rows = [
+        # user 1 day 0: two events at the SAME ts — id 10 < 11 wins,
+        # anchor cell 100 (cell 200 at the same instant loses)
+        (10, 1, t(0, 5), 100),
+        (11, 1, t(0, 5), 200),
+        (12, 1, t(0, 9), 300),   # later that day: ignored
+        (13, 1, t(1, 1), 200),   # day 1 -> flow 100 -> 200
+        (14, 1, t(3, 1), 100),   # day 3 (gap) -> flow 200 -> 100
+        (20, 2, t(0, 1), 100),   # user 2: one day only, no flow
+        (30, 3, t(2, 1), 100),   # user 3: 100 -> 200 (distinct user
+        (31, 3, t(3, 1), 200),   #   for the n_users count)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "cell_id"])
+    got = {
+        (r.from_cell, r.to_cell): (r.n_moves, r.n_users)
+        for r in od_flows(ev).collect()
+    }
+    assert got == {
+        (100, 200): (2, 2),   # user 1 day0->1 and user 3 day2->3
+        (200, 100): (1, 1),   # user 1 day1->3
+    }
