@@ -941,3 +941,17 @@ def test_domain_stats_gate_discriminates(spark):
         assert r.keep_domain == (
             r.dup_permille <= MAX_DUP and r.quality_permille >= MIN_Q
         )
+
+
+def test_domain_stats_two_exchange_aggregate(spark):
+    """One logical pass: partial-distinct on (source, fingerprint) then
+    the source rollup — two exchanges, no joins, no windows; the domain
+    relation is output-sized at any corpus scale."""
+    from a_tree_spark.engine.pipeline_queries import PIPELINE_QUERIES
+
+    plan = (
+        PIPELINE_QUERIES["domain_stats"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan and "Window" not in plan

@@ -722,3 +722,32 @@ def test_od_flows_semantics(spark):
         (100, 200): (2, 2),   # user 1 day0->1 and user 3 day2->3
         (200, 100): (1, 1),   # user 1 day1->3
     }
+
+
+def test_od_flows_window_runs_over_anchors(spark):
+    """The ONLY event-sized operation is the (user, day) anchor
+    aggregate: exactly one Window (lag over anchors), planned ABOVE the
+    aggregate (top-down string order), and three exchanges total —
+    (user, day) anchors, (user) lag, (from, to) flows; the distinct-user
+    partials run map-side without a fourth shuffle."""
+    plan = (
+        SQ.q_od_flows(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.index("Window") < plan.index("Aggregate(key=[user_id")
+
+
+def test_grid_cluster_no_pointwise_blowups(spark):
+    """No nested-loop/cartesian join and no Window anywhere in the
+    assembled clustering plan — adjacency is an equi-join on neighbor
+    ids and every post-count operator is cell-relation-sized (the CC
+    rounds run behind a checkpoint boundary)."""
+    plan = (
+        SQ.q_spatial_cluster(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
