@@ -597,6 +597,25 @@ def od_flows(
     relation, orders of magnitude smaller than the events. A hot user
     is bounded by their day count, not their event count.
     """
+    moves = od_moves(events, ts_col, key_col, cell_col, id_col)
+    return moves.groupBy("from_cell", "to_cell").agg(
+        F.count("*").alias("n_moves"),
+        F.countDistinct(key_col).alias("n_users"),
+    )
+
+
+def od_moves(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    cell_col: str = "cell_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The transition relation under ``od_flows``: one row per
+    consecutive pair of a user's observed anchor days —
+    (key, day, from_cell, to_cell) with ``day`` the destination day.
+    Factored out so the streaming twin (streaming/flows_stream.py)
+    shares these exact semantics at the row level."""
     day = EPOCH_DAY_SQL.format(ts=ts_col)
     anchors = (
         events.selectExpr(key_col, f"{day} AS day", ts_col, id_col, cell_col)
@@ -605,13 +624,9 @@ def od_flows(
         .select(key_col, "day", F.col(f"s.{cell_col}").alias("to_cell"))
     )
     w = Window.partitionBy(key_col).orderBy("day")
-    moves = anchors.select(
-        key_col, "to_cell", F.lag("to_cell").over(w).alias("from_cell")
+    return anchors.select(
+        key_col, "day", "to_cell", F.lag("to_cell").over(w).alias("from_cell")
     ).where(F.col("from_cell").isNotNull())
-    return moves.groupBy("from_cell", "to_cell").agg(
-        F.count("*").alias("n_moves"),
-        F.countDistinct(key_col).alias("n_users"),
-    )
 
 
 def od_flows_oracle_sql(

@@ -751,3 +751,23 @@ def test_grid_cluster_no_pointwise_blowups(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_grid_cluster_all_isolated_cores(spark):
+    """Zero adjacency edges (empty CC input): every core cell must
+    still surface as its own singleton cluster."""
+    from a_tree_spark.spatial.ops import grid_cluster
+
+    level = 3
+    n = grid_size(level)
+
+    def pt(pid, y, x):
+        lat, lon = cell_center(np.array([y * n + x]), level)
+        return (pid, float(lat[0]), float(lon[0]))
+
+    rows = [pt(0, 1, 1), pt(1, 1, 1), pt(2, 5, 5), pt(3, 5, 5)]
+    points = spark.createDataFrame(rows, ["event_id", "lat", "lon"])
+    got = {
+        r.event_id: r.cluster_id for r in grid_cluster(points, level, 2).collect()
+    }
+    assert got == {0: n + 1, 1: n + 1, 2: 5 * n + 5, 3: 5 * n + 5}

@@ -1071,3 +1071,89 @@ def test_session_stream_local_merge_parity(spark, tmp_path):
         .collect()
     )
     assert got == want and len(want) == 7  # 3 hot + 4 cold sessions
+
+
+def test_flows_stream_matches_batch_moves(spark, tmp_path):
+    """Streaming OD moves == batch od_moves on every transition the
+    watermark has finalized. Exercises: same-day running-min folding
+    across triggers (a batch-1 event EARLIER in day 0 steals the
+    anchor before day 0 closes), cross-trigger carry over a calendar
+    gap, per-user isolation, and the event-time-timeout flush (user 2
+    gets no traffic in the sentinel trigger yet must still emit)."""
+    from datetime import datetime, timedelta
+
+    from a_tree_spark.pipeline.temporal import od_moves
+    from a_tree_spark.streaming.flows_stream import flows_stream
+
+    day = lambda d, h=0, m=0: datetime(2024, 1, 1 + d, h, m)
+    schema = "event_id long, user_id long, ts timestamp, cell_id long"
+    # batch 0: user 1 day0 anchor candidate at 10:00 (cell 7); user 2
+    # day0 anchor (cell 3)
+    b0 = [
+        (10, 1, day(0, 10), 7),
+        (20, 2, day(0, 9), 3),
+    ]
+    # batch 1 (watermark after batch 0: max ts 10:00 - 1h = 09:00): an
+    # EARLIER day-0 event for user 1 (09:30 — above the watermark,
+    # before the 10:00 candidate) must replace the pending anchor;
+    # day-1 and day-3 events create the transitions once their days
+    # close
+    b1 = [
+        (11, 1, day(0, 9, 30), 5),
+        (12, 1, day(1, 12), 9),
+        (13, 1, day(3, 6), 2),    # calendar gap: day1 -> day3
+        (21, 2, day(2, 1), 4),
+    ]
+    sentinel = [(999, 99, day(30), 0)]  # advances wm past every day
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    )
+    moves = flows_stream(stream, watermark="1 hour")
+    query = (
+        moves.writeStream.format("memory")
+        .queryName("flows_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+        query.processAllAvailable()
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        query.processAllAvailable()
+        query.processAllAvailable()  # no-data batch fires the timeouts
+    finally:
+        query.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, day, from_cell, to_cell FROM flows_parity"
+        ).collect()
+        if r["user_id"] != 99
+    )
+    want = sorted(
+        map(
+            tuple,
+            od_moves(
+                spark.createDataFrame(b0 + b1, schema)
+            ).select("user_id", "day", "from_cell", "to_cell").collect(),
+        )
+    )
+    assert got == want and len(want) == 3
+    by_user_day = {(r[0], r[1]): r for r in got}
+    d0 = int(day(0).timestamp() // 86400)
+    # the LATE-arriving earlier event won day 0's anchor (cell 5, not 7)
+    assert by_user_day[(1, d0 + 1)][2] == 5
+    # calendar-gap carry: day1 -> day3 transition, no phantom day2
+    assert by_user_day[(1, d0 + 3)] == (1, d0 + 3, 9, 2)
+    # user 2 flushed by timeout without sentinel traffic on its key
+    assert by_user_day[(2, d0 + 2)] == (2, d0 + 2, 3, 4)
