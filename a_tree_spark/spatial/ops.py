@@ -637,6 +637,7 @@ def grid_cluster(
     id_col: str = "event_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    stats: dict | None = None,
 ) -> DataFrame:
     """DBSCAN-style density clustering on the GLQ grid: a cell is CORE
     when >= ``min_pts`` points land in it; core cells that are
@@ -694,7 +695,7 @@ def grid_cluster(
         .join(core.select(F.col("cell_id").alias("nbr")), "nbr")
         .select(F.col("cell_id").alias("doc_a"), F.col("nbr").alias("doc_b"))
     )
-    labels = duplicate_clusters(edges).select(
+    labels = duplicate_clusters(edges, stats=stats).select(
         F.col("doc_id").alias("cell_id"), "cluster_id"
     )
     # isolated core cells (no adjacent core neighbor) are their own
