@@ -49,11 +49,17 @@ def main() -> None:
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "16000000"))
     n_subs = int(os.environ.get("SPARK_GRAFT_SUBS", "10000"))
 
+    # split size: 4m suits the ~10 MB/file driver tables; for the
+    # multi-GB scaling inputs it manufactures ~1300 tasks whose
+    # driver-serial submit cost is parallelism-independent (measured as
+    # the f term in BENCH/BASELINE.md's fixed-cost decomposition) —
+    # override to probe/set coarser splits
+    split = os.environ.get("SPARK_GRAFT_MAX_SPLIT", "4m")
     spark = get_spark(
         "a_tree_spark-pinned",
         cpus=cores,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.maxPartitionBytes": split,
             "spark.sql.files.openCostInBytes": "512k",
         },
     )
