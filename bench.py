@@ -172,12 +172,22 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     def flagship():
-        # no repartition: the scan itself yields enough splits (128
-        # files @ 4m split size), so the single python stage reads
-        # straight from the scan with zero shuffles before aggregation
-        pages = spark.read.parquet(pages_path)
-        partials = fused_match_pages(keyed(pages), forest, emit="cell_root_partials")
-        return _force(cell_stats_from_root_partials(partials, root_map))
+        # no repartition: the scan itself yields enough splits, so the
+        # single python stage reads straight from the scan with zero
+        # shuffles before aggregation. 16m splits for the multi-GB
+        # pages table ONLY (round 7 measured ~130ms of per-task python-
+        # runner setup: 4m splits manufacture 4x the tasks and cost
+        # 19-29% of wall at both 8 and 32 cores); the ~10 MB/file
+        # driver tables keep 4m below or the suite underparallelizes
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        try:
+            pages = spark.read.parquet(pages_path)
+            partials = fused_match_pages(
+                keyed(pages), forest, emit="cell_root_partials"
+            )
+            return _force(cell_stats_from_root_partials(partials, root_map))
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
 
     # steady-state: min-of-N — the sandbox VM sees intermittent host
     # CPU steal (2-4x swings on identical runs); keep running until the
