@@ -1157,3 +1157,74 @@ def test_flows_stream_matches_batch_moves(spark, tmp_path):
     assert by_user_day[(1, d0 + 3)] == (1, d0 + 3, 9, 2)
     # user 2 flushed by timeout without sentinel traffic on its key
     assert by_user_day[(2, d0 + 2)] == (2, d0 + 2, 3, 4)
+
+
+def test_flows_stream_crash_recovery_restores_carry(spark, tmp_path):
+    """Kill a checkpointed flows query after its first micro-batch and
+    prove the restart restores the applyInPandasWithState blob: the
+    post-crash transition's from_cell anchors a day finalized BEFORE
+    the crash, so it is correct only if the carry state survived — a
+    fresh query would emit from_cell of a later day (or nothing)."""
+    from datetime import datetime
+
+    from a_tree_spark.streaming.flows_stream import flows_stream
+
+    day = lambda d, h=0: datetime(2024, 1, 1 + d, h)
+    schema = "event_id long, user_id long, ts timestamp, cell_id long"
+    src_dir = str(tmp_path / "src")
+    out_dir = tmp_path / "out"
+    # file 0: user 1 day0 anchor (cell 7) + day1 probe that closes
+    # day 0 once the watermark moves; file 1 (post-crash): day2 event
+    # -> transitions day0->day1 and day1->day2 finalize after file 2's
+    # far-future sentinel advances the watermark
+    parts = [
+        [(10, 1, day(0, 6), 7), (11, 1, day(1, 6), 9)],
+        [(12, 1, day(2, 6), 4)],
+        [(999, 99, datetime(2024, 2, 15), 0)],
+    ]
+    for part in parts:
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def make_sink(poison: bool):
+        def sink(df, batch_id):
+            if poison and batch_id >= 1:
+                raise RuntimeError("injected crash")
+            df.write.mode("overwrite").parquet(str(out_dir / f"b{batch_id}"))
+        return sink
+
+    def start(poison: bool):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            flows_stream(stream, watermark="1 hour")
+            .writeStream.foreachBatch(make_sink(poison))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    crashed = start(poison=True)
+    with pytest.raises(Exception):
+        crashed.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+    assert crashed.exception() is not None
+
+    resumed = start(poison=False)
+    resumed.awaitTermination(120)
+    assert resumed.exception() is None
+
+    got = sorted(
+        (r["user_id"], r["day"], r["from_cell"], r["to_cell"])
+        for r in spark.read.parquet(str(out_dir / "b*")).collect()
+        if r["user_id"] != 99
+    )
+    d0 = int(day(0).timestamp() // 86400)
+    assert got == [
+        (1, d0 + 1, 7, 9),   # day0 anchor carried across the crash
+        (1, d0 + 2, 9, 4),
+    ]
