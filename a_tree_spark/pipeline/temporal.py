@@ -615,10 +615,18 @@ def od_moves(
     consecutive pair of a user's observed anchor days —
     (key, day, from_cell, to_cell) with ``day`` the destination day.
     Factored out so the streaming twin (streaming/flows_stream.py)
-    shares these exact semantics at the row level."""
+    shares these exact semantics at the row level.
+
+    NULL timestamps are dropped up front: a NULL has no day, and
+    leaving it in produced engine-DIVERGENT phantom flows (Spark
+    groups NULL day NULLS FIRST in the lag window, DuckDB NULLS LAST —
+    opposite transition directions for the same input; round-7 review
+    repro). The stream twin drops them for the same reason (no place
+    on the watermark axis)."""
     day = EPOCH_DAY_SQL.format(ts=ts_col)
     anchors = (
-        events.selectExpr(key_col, f"{day} AS day", ts_col, id_col, cell_col)
+        events.where(F.col(ts_col).isNotNull())
+        .selectExpr(key_col, f"{day} AS day", ts_col, id_col, cell_col)
         .groupBy(key_col, "day")
         .agg(F.min(F.struct(ts_col, id_col, cell_col)).alias("s"))
         .select(key_col, "day", F.col(f"s.{cell_col}").alias("to_cell"))
@@ -648,7 +656,7 @@ anchors AS (
                    PARTITION BY {key_col}, {day}
                    ORDER BY {ts_col}, {id_col}
                ) AS rn
-        FROM ev
+        FROM ev WHERE {ts_col} IS NOT NULL
     ) q WHERE rn = 1
 ),
 moves AS (

@@ -389,6 +389,9 @@ def domain_stats(
         F.sum(F.expr(f"CAST({IS_QUALITY_SQL} AS INT)")).alias("n_quality"),
         F.sum(F.expr("CAST(length(text) AS BIGINT)")).alias("sum_chars"),
     )
+    # chained select so keep_domain references the COMPUTED permille
+    # columns — a duplicated formula would silently desynchronize the
+    # displayed ratios from the verdict under a future edit
     return agg.selectExpr(
         "source",
         "n_docs",
@@ -396,9 +399,10 @@ def domain_stats(
         "CAST(FLOOR(((n_docs - n_uniq) * 1000) / n_docs) AS BIGINT) AS dup_permille",
         "CAST(FLOOR((n_quality * 1000) / n_docs) AS BIGINT) AS quality_permille",
         "CAST(FLOOR(sum_chars / n_docs) AS BIGINT) AS mean_chars",
-        f"(FLOOR(((n_docs - n_uniq) * 1000) / n_docs) <= {max_dup_permille} "
-        f"AND FLOOR((n_quality * 1000) / n_docs) >= {min_quality_permille}) "
-        f"AS keep_domain",
+    ).selectExpr(
+        "*",
+        f"(dup_permille <= {max_dup_permille} "
+        f"AND quality_permille >= {min_quality_permille}) AS keep_domain",
     )
 
 

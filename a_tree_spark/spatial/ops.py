@@ -670,11 +670,17 @@ def grid_cluster(
     pts = points.selectExpr(
         id_col, f"{cell_id_sql(lat_col, lon_col, level)} AS cell_id"
     )
+    # lazy localCheckpoint: the core relation is cell-sized, but its
+    # lineage contains the point-sized aggregation — without the cut,
+    # that scan+groupBy re-executes for each side of the adjacency
+    # self-join and AGAIN in the final label join's downstream actions
+    # (round-7 review); on a real cluster use a reliable checkpoint
     core = (
         pts.groupBy("cell_id")
         .agg(F.count("*").alias("n_pts"))
         .where(F.col("n_pts") >= min_pts)
         .select("cell_id")
+        .localCheckpoint(eager=False)
     )
     # forward half of the 8-neighborhood: E, SW, S, SE — each unordered
     # adjacent pair appears exactly once. Guards clamp at the grid edge

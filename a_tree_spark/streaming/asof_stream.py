@@ -91,10 +91,9 @@ def asof_stream(
         .withWatermark(ts_col, watermark)
     )
 
-    session_tz = (
-        left.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
-        or "UTC"
-    )
+    from ._time import epoch_us, session_timezone
+
+    session_tz = session_timezone(merged)
     mschema = {f.name: f for f in merged.schema.fields}
     out_fields = [mschema[c] for c in left_cols] + [
         mschema[c] for c in carried
@@ -103,24 +102,23 @@ def asof_stream(
     data_cols = left_cols + carried  # ts/key live inside left_cols
     rid = f"asof_{right_id}"
 
-    def _epoch_ms(ts) -> int:
-        aware = ts if ts.tzinfo else ts.tz_localize(session_tz)
-        return int(aware.timestamp() * 1000)
-
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
         carry, pending = (
             tuple(pickle.loads(state.get[0])) if state.exists else (None, [])
         )
-        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = state.getCurrentWatermarkMs() * 1_000
         for pdf in pdfs:
             # dict records, not itertuples: pandas renames
             # underscore-prefixed columns (_side) to positional _N there
             for d in pdf.to_dict("records"):
                 sort_id = d[rid]
                 pending.append((
-                    _epoch_ms(d[ts_col]),
+                    # µs, not ms: sub-ms ts ties must order exactly as
+                    # the batch sweep's full-precision timestamps do
+                    # (shared helper, round-7 review)
+                    epoch_us(d[ts_col], session_tz),
                     int(d["_side"]),
                     -1 if sort_id is None or pd.isna(sort_id) else int(sort_id),
                     {c: d[c] for c in data_cols},
@@ -133,7 +131,7 @@ def asof_stream(
         out_rows: list[dict] = []
         still: list = []
         for row in pending:
-            if row[0] >= wm_ms:
+            if row[0] >= wm_us:
                 still.append(row)
             elif row[1] == 0:
                 carry = {c: row[3][c] for c in carried}
@@ -146,7 +144,10 @@ def asof_stream(
         if still:
             # wake this key when the watermark passes its oldest
             # pending row, even if no further traffic arrives for it
-            state.setTimeoutTimestamp(max(wm_ms, min(r[0] for r in still)) + 1)
+            # the timeout API is in ms; round the oldest pending µs UP
+            # so the wake strictly exceeds that row's event time
+            oldest_ms = -(-min(r[0] for r in still) // 1_000)
+            state.setTimeoutTimestamp(max(wm_us // 1_000, oldest_ms) + 1)
         if out_rows:
             yield pd.DataFrame(
                 {c: [r[c] for r in out_rows] for c in data_cols}

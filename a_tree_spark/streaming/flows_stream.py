@@ -34,7 +34,10 @@ import pickle
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._time import epoch_us, session_timezone
+
 DAY_MS = 86_400_000
+DAY_US = 86_400_000_000
 
 
 def flows_stream(
@@ -49,8 +52,8 @@ def flows_stream(
     ``key_col``, ``cell_col``, ``id_col``. Returns an append-mode
     stream of finalized transitions: (key, day, from_cell, to_cell) —
     the batch ``od_moves`` schema and values exactly. NULL event times
-    cannot finalize on the watermark axis and are dropped (the batch
-    day arithmetic drops them the same way: FLOOR(NULL) groups nothing).
+    cannot finalize on the watermark axis and are dropped, matching
+    the batch operator's explicit NULL-ts filter.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -60,15 +63,8 @@ def flows_stream(
         .withWatermark(ts_col, watermark)
         .select(key_col, ts_col, id_col, cell_col)
     )
-    session_tz = (
-        events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
-        or "UTC"
-    )
+    session_tz = session_timezone(events)
     output_type = f"{key_col} long, day long, from_cell long, to_cell long"
-
-    def _epoch_ms(ts) -> int:
-        aware = ts if ts.tzinfo else ts.tz_localize(session_tz)
-        return int(aware.timestamp() * 1000)
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -79,14 +75,15 @@ def flows_stream(
         wm_ms = state.getCurrentWatermarkMs()
         for pdf in pdfs:
             for d in pdf.to_dict("records"):
-                ts_ms = _epoch_ms(d[ts_col])
-                day = ts_ms // DAY_MS
-                cand = (ts_ms, int(d[id_col]), int(d[cell_col]))
+                ts_us = epoch_us(d[ts_col], session_tz)
+                day = ts_us // DAY_US
+                cand = (ts_us, int(d[id_col]), int(d[cell_col]))
                 prev = pending.get(day)
                 if prev is None or cand < prev:
                     pending[day] = cand
         out: list[tuple] = []
-        for day in sorted(d for d in pending if (d + 1) * DAY_MS <= wm_ms):
+        wm_us = wm_ms * 1_000
+        for day in sorted(d for d in pending if (d + 1) * DAY_US <= wm_us):
             cell = pending.pop(day)[2]
             if carry is not None:
                 out.append((int(key[0]), day, carry[1], cell))

@@ -179,6 +179,7 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
         # runner setup: 4m splits manufacture 4x the tasks and cost
         # 19-29% of wall at both 8 and 32 cores); the ~10 MB/file
         # driver tables keep 4m below or the suite underparallelizes
+        prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
         try:
             pages = spark.read.parquet(pages_path)
@@ -187,7 +188,7 @@ def run(cpus: int, sf_dir: str, n_pages: int, n_subs: int) -> dict:
             )
             return _force(cell_stats_from_root_partials(partials, root_map))
         finally:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
     # steady-state: min-of-N — the sandbox VM sees intermittent host
     # CPU steal (2-4x swings on identical runs); keep running until the

@@ -49,12 +49,13 @@ def main() -> None:
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "16000000"))
     n_subs = int(os.environ.get("SPARK_GRAFT_SUBS", "10000"))
 
-    # split size: 4m suits the ~10 MB/file driver tables; for the
-    # multi-GB scaling inputs it manufactures ~1300 tasks whose
-    # driver-serial submit cost is parallelism-independent (measured as
-    # the f term in BENCH/BASELINE.md's fixed-cost decomposition) —
-    # override to probe/set coarser splits
-    split = os.environ.get("SPARK_GRAFT_MAX_SPLIT", "4m")
+    # split size: 16m default for the multi-GB scaling inputs — the 4m
+    # setting (tuned for ~10 MB/file driver tables) manufactures ~1300
+    # tasks at 16M pages and ~130ms/task of python-runner setup cost a
+    # 19-29% wall tax at both levels (BENCH/BASELINE.md round-7
+    # investigation); the recorded headline is reproducible with this
+    # default. Env override for probing.
+    split = os.environ.get("SPARK_GRAFT_MAX_SPLIT", "16m")
     spark = get_spark(
         "a_tree_spark-pinned",
         cpus=cores,

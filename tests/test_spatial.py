@@ -771,3 +771,40 @@ def test_grid_cluster_all_isolated_cores(spark):
         r.event_id: r.cluster_id for r in grid_cluster(points, level, 2).collect()
     }
     assert got == {0: n + 1, 1: n + 1, 2: 5 * n + 5, 3: 5 * n + 5}
+
+
+def test_od_moves_null_ts_dropped_engine_identically(spark):
+    """Round-7 review repro: a NULL-ts event used to produce OPPOSITE
+    phantom flows in the two engines (Spark windows order NULL day
+    NULLS FIRST, DuckDB NULLS LAST). Both now drop NULL timestamps."""
+    import datetime as dt
+
+    import duckdb
+
+    from a_tree_spark.pipeline.temporal import od_flows, od_moves, od_flows_oracle_sql
+
+    utc = dt.timezone.utc
+    rows = [
+        (1, 7, None, 50),
+        (2, 7, dt.datetime(2024, 1, 6, tzinfo=utc), 9),
+        (3, 7, dt.datetime(2024, 1, 7, tzinfo=utc), 4),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, cell_id long")
+    moves = sorted(
+        (r.from_cell, r.to_cell) for r in od_moves(ev).collect()
+    )
+    assert moves == [(9, 4)]  # no transition touches the NULL-ts row
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev_src(event_id BIGINT, user_id BIGINT, ts TIMESTAMP, cell_id BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO ev_src VALUES (?, ?, ?, ?)",
+        [(i, u, t.replace(tzinfo=None) if t else None, c) for i, u, t, c in rows],
+    )
+    oracle = con.execute(
+        od_flows_oracle_sql("SELECT * FROM ev_src")
+    ).fetchall()
+    spark_flows = sorted(map(tuple, od_flows(ev).collect()))
+    assert sorted(map(tuple, oracle)) == spark_flows == [(9, 4, 1, 1)]
