@@ -70,16 +70,20 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.simhash_near_dup_pairs(
+    # signature-graph CC (identical output to the generic pair-graph
+    # composition, pinned by tests): the doc pair graph is the lift of
+    # the distinct-signature graph, so clustering never materializes
+    # the O(clique^2) doc pairs
+    return dedup.simhash_duplicate_clusters(
         dedup.corpus_with_dups(_documents(spark, sf_dir))
     )
-    return dedup.duplicate_clusters(pairs)
 
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.corpus_with_dups(_documents(spark, sf_dir))
-    pairs = dedup.simhash_near_dup_pairs(corpus)
-    return dedup.canonical_documents(corpus, dedup.duplicate_clusters(pairs))
+    return dedup.canonical_documents(
+        corpus, dedup.simhash_duplicate_clusters(corpus)
+    )
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -280,13 +280,28 @@ def _shingle_h_sql(instr_fn: str, expr: str = "shingle") -> str:
     """32-bit integer from the first 8 hex nibbles of md5(``expr``) —
     rendered with the dialect's position function (Spark instr, DuckDB
     strpos; same 1-based semantics). Also reused by the rolling-hash
-    document fingerprint (``pipeline/text.py``)."""
+    document fingerprint (``pipeline/text.py``). ORACLE-side form: the
+    Spark query paths use ``_shingle_h_fast`` (same value, one md5)."""
     terms = [
         f"({instr_fn}('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
         f" * CAST({16 ** (7 - i)} AS BIGINT)"   # BIGINT: the sum tops 2^32
         for i in range(8)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _shingle_h_fast(expr: str = "shingle") -> str:
+    """Spark-only equivalent of ``_shingle_h_sql``: the identical
+    32-bit integer (value of the first 8 hex nibbles of md5) computed
+    with ONE md5 + conv instead of 8 md5/instr pairs. The nibble-sum
+    form evaluates ``md5(expr)`` once per term, and inside higher-order
+    -function lambdas (the rolling fingerprint's ``transform``)
+    Catalyst's subexpression elimination cannot dedupe across lambda
+    bodies — measured 8x the md5 work per shingle (guide §4.1: prefer
+    cheaper built-in expression forms). The oracle keeps the portable
+    nibble-sum rendering; equality is pinned by the driver hash and
+    tests/test_pipeline_ops.py."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
 
 
 def _mh_expr(seed: int) -> str:
@@ -336,7 +351,7 @@ def minhash_lsh_pairs(
     milliseconds.
     """
     rare = _rare_shingles(corpus)
-    hashed = rare.withColumn("h", F.expr(_shingle_h_sql("instr")))
+    hashed = rare.withColumn("h", F.expr(_shingle_h_fast()))
     signatures = (
         hashed.groupBy("doc_id")
         .agg(
@@ -444,31 +459,56 @@ WHERE n_inter * {JACCARD_DEN} >= (sa.n_sh + sb.n_sh - n_inter) * {JACCARD_NUM}
 # ------------------------------------------------------------- simhash
 
 
-_SIMHASH_SPARK = """
+def _simhash_spark_sql() -> str:
+    """Spark rendering of the bit-majority SimHash WITHOUT the vote-row
+    explosion. The round-1..7 form expanded every (doc, word) hash into
+    64 vote rows (16 nibbles x 4 bits) through two LATERAL VIEW
+    explodes and aggregated twice — a 64x row amplification that
+    dominated every dedup query's wall at scale (guide §2.3: aggregate
+    before you explode; measured sf1.0: the votes explode produced
+    ~1e9 intermediate rows). This form computes the SAME signature in
+    ONE aggregation: per word, the 64-bit hash as two 32-bit halves
+    (one md5 + two convs); per doc, 64 bit-count sums + the word count;
+    bit k of the signature is set iff 2*s_k > n — algebraically
+    identical to the old SUM(+1/-1) > 0 vote (vs_k = 2*s_k - n). The
+    DuckDB oracle keeps the original explode rendering; equality is
+    value-pinned by the driver hash and the pure-python simhash_oracle
+    in pytest."""
+    sums = []
+    for k in range(64):
+        half, shift = ("hi", k - 32) if k >= 32 else ("lo", k)
+        src = f"shiftright({half}, {shift}) & 1" if shift else f"{half} & 1"
+        sums.append(f"SUM({src}) AS s{k}")
+    bit_terms = [
+        f"IF(2 * s{k} > n, CAST({1 << k} AS BIGINT), CAST(0 AS BIGINT))"
+        for k in range(63)
+    ]
+    bit_terms.append(
+        "IF(2 * s63 > n, -2 * shiftleft(CAST(1 AS BIGINT), 62),"
+        " CAST(0 AS BIGINT))"
+    )
+    return f"""
 WITH words AS (
     SELECT doc_id, explode(array_distinct(split(text, ' '))) AS word
-    FROM {corpus}
+    FROM {{corpus}}
 ),
-h AS (SELECT doc_id, substring(md5(word), 1, 16) AS hx FROM words),
-nib AS (
-    SELECT doc_id, i,
-           instr('0123456789abcdef', substring(hx, i, 1)) - 1 AS v
-    FROM h LATERAL VIEW explode(sequence(1, 16)) t AS i
+hx AS (SELECT doc_id, substring(md5(word), 1, 16) AS hx FROM words),
+h AS (
+    SELECT doc_id,
+           CAST(conv(substring(hx, 1, 8), 16, 10) AS BIGINT) AS hi,
+           CAST(conv(substring(hx, 9, 8), 16, 10) AS BIGINT) AS lo
+    FROM hx
 ),
 votes AS (
-    SELECT doc_id, (16 - i) * 4 + j AS bit,
-           SUM(CASE WHEN (shiftright(v, j) & 1) = 1 THEN 1 ELSE -1 END) AS vs
-    FROM nib LATERAL VIEW explode(sequence(0, 3)) s AS j
-    GROUP BY doc_id, (16 - i) * 4 + j
+    SELECT doc_id, COUNT(*) AS n, {', '.join(sums)}
+    FROM h GROUP BY doc_id
 )
-SELECT doc_id,
-       SUM(CASE WHEN vs > 0 THEN
-               CASE WHEN bit = 63
-                    THEN -2 * shiftleft(CAST(1 AS BIGINT), 62)
-                    ELSE shiftleft(CAST(1 AS BIGINT), bit) END
-           ELSE CAST(0 AS BIGINT) END) AS simhash
-FROM votes GROUP BY doc_id
+SELECT doc_id, ({' + '.join(bit_terms)}) AS simhash
+FROM votes
 """.strip()
+
+
+_SIMHASH_SPARK = _simhash_spark_sql()
 
 _SIMHASH_DUCKDB = """
 WITH words AS (
@@ -599,11 +639,23 @@ def simhash_near_dup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
         "band", "bits",
     )
+    # dedupe candidates with the FIRST-MATCHING-BAND filter instead of
+    # .distinct(): a pair agreeing on k bands appears k times in the
+    # band join, and the old distinct shuffled every duplicate (sf1.0:
+    # tens of millions of wide candidate rows through an extra
+    # Exchange — guide §2.4, remove shuffles outright). Both signatures
+    # ride the joined row, so "is this the smallest agreeing band" is a
+    # pure codegen predicate and each pair survives exactly once.
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(sa, {b * SIMHASH_PAIR_BAND_BITS}) & 65535) = "
+        f"(shiftright(sb, {b * SIMHASH_PAIR_BAND_BITS}) & 65535) THEN {b}"
+        for b in range(SIMHASH_PAIR_BANDS)
+    ) + " END"
     cand = (
         left.join(right, ["band", "bits"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.expr(f"band = ({first_band})"))
         .select("doc_a", "sa", "doc_b", "sb")
-        .distinct()
     )
     return (
         cand.withColumn(
@@ -729,14 +781,59 @@ def duplicate_clusters(
             if int(k) in ids:
                 jmap.get(k).unpersist(False)
 
-    edges, edge_ids = _ckpt_tracked(
-        pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).union(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
+    # checkpoint the PAIR relation itself, then derive both edge
+    # directions from the checkpointed blocks: a union of two
+    # projections of the raw `pairs` plan duplicates the whole upstream
+    # pair pipeline (signature aggregation + band self-join) inside one
+    # job — the two branches are separate subtrees, so exchange reuse
+    # does not collapse them (guide §2.4: remove duplicated subtrees)
+    pairs_ck, edge_ids = _ckpt_tracked(pairs.select("doc_a", "doc_b"))
+    edges_full = pairs_ck.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs_ck.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
+    )
+    # ONE-ROUND GRAPH CONTRACTION before the loop (guide §2.3: shuffle
+    # fewer bytes; measured sf1.0: 29.4M near-dup pairs over 52.8k
+    # nodes — near-clique components — made every loop round re-join
+    # the full 58.7M-row edge relation, 26s of the query wall). The
+    # seed mapping rep(v) = min(v, neighbours(v)) collapses cliques and
+    # stars (the dominant dup shapes) in one pass; rewriting each pair
+    # modulo the mapping and dropping intra-class edges leaves only the
+    # edges BETWEEN seed classes, so the loop iterates over a relation
+    # sized by the residual graph, not the raw pair count. Correctness:
+    # contraction is component-preserving, the component minimum m maps
+    # to itself (it has no smaller neighbour), so the loop's labels on
+    # representatives are the true component minima, and composing
+    # final(v) = coalesce(loop_label(rep(v)), rep(v)) reproduces the
+    # exact min-reachable-id output (a class with no inter-class edge
+    # IS a whole component, and its rep is then that minimum).
+    mapping, map_ids = _ckpt_tracked(
+        edges_full.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("id", F.least("id", "mn").alias("rep"))
+    )
+    cpairs = (
+        pairs_ck.join(
+            mapping.select(F.col("id").alias("doc_a"),
+                           F.col("rep").alias("ra")), "doc_a")
+        .join(
+            mapping.select(F.col("id").alias("doc_b"),
+                           F.col("rep").alias("rb")), "doc_b")
+        .where(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("pa"),
+            F.greatest("ra", "rb").alias("pb"),
+        )
+        .distinct()
+    )
+    cpairs_ck, cpair_ids = _ckpt_tracked(cpairs)
+    edges = cpairs_ck.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(
+        cpairs_ck.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     # seed with min(self, direct neighbours): star components (the
     # dominant near-dup shape) converge at init and exit after one
@@ -789,11 +886,115 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_rounds} rounds"
         )
     _free(edge_ids)
+    _free(cpair_ids)
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    # compose the loop's representative labels back through the seed
+    # mapping; a rep with no loop row heads a class that is a whole
+    # component, whose minimum is the rep itself
+    out, out_ids = _ckpt_tracked(
+        mapping.join(
+            labels.withColumnRenamed("id", "rep"), "rep", "left"
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("lbl", "rep").alias("cluster_id"),
+        )
     )
+    _free(map_ids)
+    _free(label_ids)
+    return out
+
+
+def simhash_duplicate_clusters(
+    corpus: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    stats: dict | None = None,
+) -> DataFrame:
+    """``duplicate_clusters(simhash_near_dup_pairs(corpus))``, computed
+    WITHOUT materializing the doc-level pair graph.
+
+    The SimHash pair predicate — shares >= 1 band AND
+    ``bit_count(sa ^ sb) <= h`` — is a function of the two SIGNATURES
+    alone, so the doc pair graph is the lift of a graph on DISTINCT
+    signatures: all docs with one signature are mutually paired
+    (hamming 0), and two signature classes are either fully joined or
+    fully disjoint. Measured sf1.0: 52.8k clustered docs expand to
+    29.4M doc pairs, but only ~tens of thousands of distinct
+    signatures — running CC on the signature graph and joining doc ->
+    signature label back shrinks every shuffle from pair-count to
+    signature-count (guide §8: decide with small rows).
+
+    Equivalence: each signature class is labeled by its minimum doc id
+    (classes partition docs, so these minima are distinct and ordered
+    like the docs they cover); CC over the class graph with min-label
+    propagation yields min reachable class minimum = min reachable doc.
+    A doc is clustered iff its class has >= 2 docs (a same-signature
+    sibling) or its class meets another class (a cross-signature pair)
+    — exactly the ">= 1 pair" membership rule. Pinned against the
+    generic pair-graph path by tests and the driver oracle."""
+    sig = simhash_signatures(corpus).cache()
+    with _SIMHASH_SIG_LOCK:
+        _SIMHASH_SIG_CACHE.append(sig)
+        while len(_SIMHASH_SIG_CACHE) > _SIMHASH_SIG_SLOTS:
+            _SIMHASH_SIG_CACHE.pop(0).unpersist(False)
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.min("doc_id").alias("mn"), F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    bands = groups.select(
+        "simhash",
+        "mn",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"CAST(shiftright(simhash, "
+                        f"{b * SIMHASH_PAIR_BAND_BITS}) & 65535 AS BIGINT)"
+                    ).alias("bits"),
+                )
+                for b in range(SIMHASH_PAIR_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(
+        "simhash", "mn",
+        F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"),
+    )
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(sa, {b * SIMHASH_PAIR_BAND_BITS}) & 65535) = "
+        f"(shiftright(sb, {b * SIMHASH_PAIR_BAND_BITS}) & 65535) THEN {b}"
+        for b in range(SIMHASH_PAIR_BANDS)
+    ) + " END"
+    left = bands.select(
+        F.col("simhash").alias("sa"), F.col("mn").alias("mn_a"),
+        "band", "bits",
+    )
+    right = bands.select(
+        F.col("simhash").alias("sb"), F.col("mn").alias("mn_b"),
+        "band", "bits",
+    )
+    spairs = (
+        left.join(right, ["band", "bits"])
+        .where(F.col("sa") < F.col("sb"))
+        .where(F.expr(f"band = ({first_band})"))
+        .where(F.expr(f"bit_count(sa ^ sb) <= {int(max_hamming)}"))
+        .select(
+            F.least("mn_a", "mn_b").alias("doc_a"),
+            F.greatest("mn_a", "mn_b").alias("doc_b"),
+        )
+    )
+    cc = duplicate_clusters(spairs, stats=stats)
+    sig_lbl = (
+        groups.join(
+            cc.withColumnRenamed("doc_id", "mn"), "mn", "left"
+        )
+        .where((F.col("cnt") >= 2) | F.col("cluster_id").isNotNull())
+        .select(
+            "simhash", F.coalesce("cluster_id", "mn").alias("cluster_id")
+        )
+    )
+    return sig.join(sig_lbl, "simhash").select("doc_id", "cluster_id")
 
 
 def clusters_oracle_from_pairs(
@@ -888,9 +1089,7 @@ def curated_corpus(documents: DataFrame) -> DataFrame:
     from .text import text_features
 
     corpus = corpus_with_dups(documents)
-    keep = canonical_documents(
-        corpus, duplicate_clusters(simhash_near_dup_pairs(corpus))
-    )
+    keep = canonical_documents(corpus, simhash_duplicate_clusters(corpus))
     feats = text_features(documents)
     return (
         feats.join(keep, "doc_id")

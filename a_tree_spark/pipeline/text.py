@@ -90,13 +90,16 @@ def rolling_fingerprint_sql(dialect: str) -> str:
     array HOFs on both engines; no explode, no shuffle. Assumes a
     pre-split ``w`` column (added by ``text_features`` / the oracle's
     inner select) — 0-based indexing in Spark, 1-based in DuckDB."""
-    from .dedup import _shingle_h_sql
+    from .dedup import _shingle_h_fast, _shingle_h_sql
 
     if dialect == "spark":
-        h = _shingle_h_sql("instr", "concat_ws(' ', w[i], w[i + 1], w[i + 2])")
+        # _shingle_h_fast, not the nibble-sum: inside the transform()
+        # lambda Catalyst cannot CSE the 8 md5 calls of the portable
+        # form — one md5+conv per shingle instead (same value)
+        h = _shingle_h_fast("concat_ws(' ', w[i], w[i + 1], w[i + 2])")
         return (
             "CASE WHEN size(w) < 3 THEN "
-            + _shingle_h_sql("instr", "text")
+            + _shingle_h_fast("text")
             + " ELSE array_min(transform(sequence(0, size(w) - 3), i -> "
             + h
             + ")) END"
