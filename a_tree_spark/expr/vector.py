@@ -59,14 +59,39 @@ def _true_mask(result: np.ndarray, null_mask: np.ndarray) -> np.ndarray:
 
 
 class _ScalarColumn:
-    """Null-separated numpy view of one scalar attribute column."""
+    """Null-separated numpy view of one scalar attribute column.
 
-    __slots__ = ("mask", "values", "str_series")
+    String columns carry ONE of two representations:
 
-    def __init__(self, mask: np.ndarray, values, str_series=None):
+    - ``str_series``: a pandas object Series (the pandas ingest path
+      and fused kernels that already hold one);
+    - ``codes`` + ``uniques``: Arrow dictionary encoding — int64 codes
+      (-1 = null) into the batch-local ``uniques`` list. Every string
+      leaf op then runs as int64 numpy compares/gathers over the codes
+      with ONE tiny python lookup over the uniques, instead of pandas
+      object-array comparisons per leaf (profiled: object-dtype EQ/
+      isin/map were the dense sweep's largest line items — guide §4.2,
+      hand batches to vectorized kernels, encode strings once).
+    """
+
+    __slots__ = ("mask", "values", "str_series", "codes", "uniques",
+                 "_uniq_map")
+
+    def __init__(self, mask: np.ndarray, values, str_series=None,
+                 codes=None, uniques=None):
         self.mask = mask
         self.values = values
         self.str_series = str_series
+        self.codes = codes
+        self.uniques = uniques
+        self._uniq_map = None
+
+    @property
+    def uniq_map(self) -> dict:
+        """{unique value -> dictionary code}, built once per batch."""
+        if self._uniq_map is None:
+            self._uniq_map = {u: i for i, u in enumerate(self.uniques)}
+        return self._uniq_map
 
 
 class _ListColumn:
@@ -77,7 +102,8 @@ class _ListColumn:
     Arrow-native kernels dictionary-encode so only unique strings cross
     into Python."""
 
-    __slots__ = ("mask", "lengths", "row_ids", "flat", "n", "vids", "_offsets")
+    __slots__ = ("mask", "lengths", "row_ids", "flat", "n", "vids",
+                 "_offsets", "fcodes", "funiques", "_funiq_map")
 
     def __init__(self, series: pd.Series):
         n = len(series)
@@ -103,14 +129,22 @@ class _ListColumn:
             self.flat = np.empty(0, dtype=np.int64)
         self.vids = None
         self._offsets = None
+        self.fcodes = None
+        self.funiques = None
+        self._funiq_map = None
 
     @classmethod
     def from_parts(
         cls, mask: np.ndarray, lengths: np.ndarray, flat: np.ndarray,
         vids: np.ndarray | None = None,
+        fcodes: np.ndarray | None = None,
+        funiques: list | None = None,
     ) -> "_ListColumn":
         """Zero-copy construction from an Arrow ListArray's pieces —
-        used by fused kernels that never materialize pandas lists."""
+        used by fused kernels that never materialize pandas lists.
+        ``fcodes``/``funiques`` optionally carry a dictionary encoding
+        of the flattened string values (-1 = null element), so generic
+        flat ops run int64 membership instead of object-array isin."""
         col = cls.__new__(cls)
         col.n = len(mask)
         col.mask = mask
@@ -119,7 +153,17 @@ class _ListColumn:
         col.flat = flat
         col.vids = vids
         col._offsets = None
+        col.fcodes = fcodes
+        col.funiques = funiques
+        col._funiq_map = None
         return col
+
+    @property
+    def funiq_map(self) -> dict:
+        """{flat unique value -> dictionary code}, built once per batch."""
+        if self._funiq_map is None:
+            self._funiq_map = {u: i for i, u in enumerate(self.funiques)}
+        return self._funiq_map
 
     @property
     def offsets(self) -> np.ndarray:
@@ -249,6 +293,13 @@ class _MemberGroup:
                 return self.evaluate_codes(col.vids, col.row_ids, col.mask, n)
             values, rows = col.flat, col.row_ids
         else:
+            if getattr(col, "codes", None) is not None:
+                # dictionary path: vocab lookup over the few uniques,
+                # gather through the int codes (trailing -1 = null)
+                lookup = np.append(self.map_unique(col.uniques), -1)
+                return self.evaluate_codes(
+                    lookup[col.codes], np.arange(n), col.mask, n
+                )
             values, rows = col.values if col.str_series is None else col.str_series.to_numpy(), np.arange(n)
         valid, vids = self._codes(np.asarray(values))
         return self._scatter(rows[valid], vids[valid], col.mask, n)
@@ -689,9 +740,15 @@ class BatchEvaluator:
                 and forest.leaves[i].op in self._FLAT_OPS
                 for i in self.generic_leaves
             )
+            is_str_flat = pa.types.is_string(flat.type) or (
+                pa.types.is_large_string(flat.type)
+            )
             vids = None
-            if use_vids:
+            fcodes = funiques = None
+            encoded = None
+            if use_vids or (needs_flat and is_str_flat):
                 encoded = pc.dictionary_encode(flat)
+            if use_vids:
                 dict_vals = encoded.dictionary.to_pylist()
                 # null elements inside the list produce null dictionary
                 # indices; route them to a trailing -1 sentinel slot so
@@ -704,11 +761,24 @@ class BatchEvaluator:
                     .astype(np.int64)
                 )
                 vids = lookup[idx]
-            flat_np = (
-                flat.to_numpy(zero_copy_only=False) if needs_flat else None
-            )
+            flat_np = None
+            if needs_flat:
+                if is_str_flat:
+                    # flat ops on string lists run over dictionary
+                    # codes: only UNIQUE tokens cross into Python, and
+                    # membership is int64 isin instead of object-array
+                    # hashing (null element -> -1, never a member)
+                    funiques = encoded.dictionary.to_pylist()
+                    fcodes = (
+                        pc.fill_null(encoded.indices, -1)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                else:
+                    flat_np = flat.to_numpy(zero_copy_only=False)
             cache[attr_index] = _ListColumn.from_parts(
-                mask, lengths, flat_np, vids=vids
+                mask, lengths, flat_np, vids=vids,
+                fcodes=fcodes, funiques=funiques,
             )
         return cache
 
@@ -720,7 +790,17 @@ class BatchEvaluator:
 
         mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
         if kind is AttributeKind.STRING:
-            return _ScalarColumn(mask, None, arr.to_pandas())
+            # dictionary-encode once per batch: only UNIQUE strings
+            # cross into Python; every leaf then compares int64 codes
+            enc = pc.dictionary_encode(arr)
+            codes = (
+                pc.fill_null(enc.indices, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return _ScalarColumn(
+                mask, None, codes=codes, uniques=enc.dictionary.to_pylist()
+            )
         if kind is AttributeKind.BOOLEAN and pa.types.is_boolean(arr.type):
             values = (
                 pc.fill_null(arr, False)
@@ -795,6 +875,12 @@ class BatchEvaluator:
                     return _true_mask(result, col.mask)
                 values, literal, op = col.values, threshold, cmp_op
             elif isinstance(operand, str):
+                if col.codes is not None:
+                    code = col.uniq_map.get(operand, -2)  # -2: absent
+                    result = (
+                        col.codes == code if op is Op.EQ else col.codes != code
+                    )
+                    return _true_mask(result, col.mask)
                 series = col.str_series
                 if op is Op.EQ:
                     result = (series == operand).to_numpy(dtype=bool)
@@ -819,7 +905,14 @@ class BatchEvaluator:
 
         if op in (Op.IN, Op.NOT_IN):
             if isinstance(operand[0], str):
-                result = col.str_series.isin(operand).to_numpy(dtype=bool)
+                if col.codes is not None:
+                    m = col.uniq_map
+                    op_codes = np.array(
+                        [m[v] for v in operand if v in m], dtype=np.int64
+                    )
+                    result = np.isin(col.codes, op_codes)
+                else:
+                    result = col.str_series.isin(operand).to_numpy(dtype=bool)
             else:
                 result = np.isin(col.values, np.array(operand, dtype=np.int64))
             if op is Op.NOT_IN:
@@ -828,8 +921,15 @@ class BatchEvaluator:
 
         # list operators over the flattened column
         if isinstance(operand[0], str):
-            member = pd.Series(col.flat).isin(operand).to_numpy(dtype=bool) \
-                if len(col.flat) else np.empty(0, dtype=bool)
+            if col.fcodes is not None:
+                m = col.funiq_map
+                op_codes = np.array(
+                    [m[v] for v in operand if v in m], dtype=np.int64
+                )
+                member = np.isin(col.fcodes, op_codes)
+            else:
+                member = pd.Series(col.flat).isin(operand).to_numpy(dtype=bool) \
+                    if len(col.flat) else np.empty(0, dtype=bool)
         else:
             member = np.isin(col.flat, np.array(operand, dtype=np.int64))
         n_rows = col.n
@@ -845,13 +945,17 @@ class BatchEvaluator:
         """Row-subset view of a prepared column (lazy-leaf evaluation on
         candidate rows only)."""
         if isinstance(col, _ScalarColumn):
-            return _ScalarColumn(
+            sub = _ScalarColumn(
                 col.mask[idx],
                 None if col.values is None else col.values[idx],
                 None
                 if col.str_series is None
                 else col.str_series.iloc[idx].reset_index(drop=True),
+                codes=None if col.codes is None else col.codes[idx],
+                uniques=col.uniques,
             )
+            sub._uniq_map = col._uniq_map
+            return sub
         offsets = col.offsets
         lengths = col.lengths[idx]
         total = int(lengths.sum())
@@ -863,12 +967,16 @@ class BatchEvaluator:
             )
         else:
             gather = np.empty(0, dtype=np.int64)
-        return _ListColumn.from_parts(
+        sub = _ListColumn.from_parts(
             col.mask[idx],
             lengths,
             None if col.flat is None else col.flat[gather],
             vids=None if col.vids is None else col.vids[gather],
+            fcodes=None if col.fcodes is None else col.fcodes[gather],
+            funiques=col.funiques,
         )
+        sub._funiq_map = col._funiq_map
+        return sub
 
     def _eval_leaves(self, cache: dict, n: int, lazy_true: bool = False) -> np.ndarray:
         forest = self.forest
@@ -878,10 +986,21 @@ class BatchEvaluator:
         for attr_index, sorted_ops, leaf_idxs in self.eq_groups:
             col = cache[attr_index]
             if sorted_ops.dtype.kind in ("U", "O"):
-                codes = pd.Series(col.str_series).map(
-                    {v: i for i, v in enumerate(sorted_ops)}
-                )
-                pos = codes.fillna(-1).to_numpy(dtype=np.int64)
+                if col.codes is not None:
+                    m = {v: i for i, v in enumerate(sorted_ops)}
+                    lookup = np.append(
+                        np.array(
+                            [m.get(u, -1) for u in col.uniques],
+                            dtype=np.int64,
+                        ),
+                        -1,   # trailing slot: null codes (-1) land here
+                    )
+                    pos = lookup[col.codes]
+                else:
+                    codes = pd.Series(col.str_series).map(
+                        {v: i for i, v in enumerate(sorted_ops)}
+                    )
+                    pos = codes.fillna(-1).to_numpy(dtype=np.int64)
                 hit = pos >= 0
             else:
                 pos = np.searchsorted(sorted_ops, col.values)
