@@ -178,9 +178,12 @@ class _ListColumn:
         return self._offsets
 
 
-def scalar_column(mask: np.ndarray, values=None, str_series=None) -> _ScalarColumn:
-    """Public constructor for prepared scalar columns (fused kernels)."""
-    return _ScalarColumn(mask, values, str_series)
+def scalar_column(mask: np.ndarray, values=None, str_series=None,
+                  codes=None, uniques=None) -> _ScalarColumn:
+    """Public constructor for prepared scalar columns (fused kernels).
+    String columns may pass dictionary ``codes`` (+ ``uniques``)
+    instead of a pandas ``str_series`` — see _ScalarColumn."""
+    return _ScalarColumn(mask, values, str_series, codes=codes, uniques=uniques)
 
 
 def _scaled_int_from_decimal_literal(literal: Decimal) -> Fraction:

@@ -529,11 +529,31 @@ def fused_match_pages(
             meta_lon = pc.cast(pc.struct_field(geo, "glon"), pa.float64()).to_numpy(
                 zero_copy_only=False
             )
+            # dictionary-encode the string attribute columns ONCE per
+            # batch: only the ~dozens of UNIQUE tld/lang values become
+            # Python objects; per-row data crossing into the evaluator
+            # is int64 codes (guide §2.3 narrower types / §4.2 — and
+            # the round-7 DRAM-ceiling decomposition's first candidate:
+            # cut bytes per doc crossing Arrow)
             tld = pc.struct_field(pc.extract_regex(url, tld_pattern), "tld")
-            tld_series = tld.to_pandas()
-            lang_series = batch.column(
-                batch.schema.get_field_index("lang")
-            ).to_pandas()
+            tld_enc = pc.dictionary_encode(tld)
+            tld_uniques = tld_enc.dictionary.to_pylist()
+            tld_codes = (
+                pc.fill_null(tld_enc.indices, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            tld_mask = tld_codes == -1
+            lang_enc = pc.dictionary_encode(
+                batch.column(batch.schema.get_field_index("lang"))
+            )
+            lang_uniques = lang_enc.dictionary.to_pylist()
+            lang_codes = (
+                pc.fill_null(lang_enc.indices, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lang_mask = lang_codes == -1
 
             toks = pc.split_pattern(text, " ")
             n_tokens = pc.list_value_length(toks).to_numpy().astype(np.int64)
@@ -553,11 +573,21 @@ def fused_match_pages(
                 lead_flat = flat_arr.to_numpy(zero_copy_only=False)
 
             has_geo = ~np.isnan(meta_lat)
-            # two direct dict maps -> float64 (missing tld => NaN);
-            # round 1 mapped to tuples then ran a per-row isinstance
-            # comprehension — per-row python in the hot kernel
-            cent_lat = tld_series.map(centroid_lat).to_numpy(np.float64, na_value=np.nan)
-            cent_lon = tld_series.map(centroid_lon).to_numpy(np.float64, na_value=np.nan)
+            # centroid lookup over the UNIQUE tlds (a ~26-entry python
+            # loop), gathered per row through the dictionary codes —
+            # the per-row pandas .map built an object column each batch
+            u_lat = np.array(
+                [centroid_lat.get(u, np.nan) for u in tld_uniques]
+                + [np.nan],   # trailing slot: null tld (code -1)
+                dtype=np.float64,
+            )
+            u_lon = np.array(
+                [centroid_lon.get(u, np.nan) for u in tld_uniques]
+                + [np.nan],
+                dtype=np.float64,
+            )
+            cent_lat = u_lat[tld_codes]
+            cent_lon = u_lon[tld_codes]
             lat = np.where(has_geo, meta_lat, cent_lat)
             lon = np.where(has_geo, meta_lon, cent_lon)
             no_pos = np.isnan(lat) | np.isnan(lon)
@@ -572,12 +602,12 @@ def fused_match_pages(
                 sl = slice(start, stop)
                 cache = {
                     idx["lang"]: scalar_column(
-                        lang_series.iloc[sl].isna().to_numpy(),
-                        str_series=lang_series.iloc[sl],
+                        lang_mask[sl],
+                        codes=lang_codes[sl], uniques=lang_uniques,
                     ),
                     idx["tld"]: scalar_column(
-                        tld_series.iloc[sl].isna().to_numpy(),
-                        str_series=tld_series.iloc[sl],
+                        tld_mask[sl],
+                        codes=tld_codes[sl], uniques=tld_uniques,
                     ),
                     idx["n_tokens"]: scalar_column(none_mask[sl], n_tokens[sl]),
                     idx["has_geo"]: scalar_column(none_mask[sl], has_geo[sl]),
