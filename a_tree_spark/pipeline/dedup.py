@@ -769,10 +769,17 @@ def duplicate_clusters(
         The snapshot-diff is serialized under _CKPT_LOCK: a concurrent
         driver thread persisting between the two snapshots would get
         its (non-recomputable) localCheckpoint blocks attributed to —
-        and later freed by — this loop (ADVICE r5)."""
+        and later freed by — this loop (ADVICE r5).
+
+        eager=False: every checkpoint here is followed by an action
+        that consumes it (the label-sum convergence scan, or the next
+        derivation job), so the lazy form halves the JOBS per loop
+        round — the eager checkpoint ran one job to materialize and the
+        sum ran a second over the same blocks (guide §1.2: per-round
+        fixed cost dominates once the relations are contracted)."""
         with _CKPT_LOCK:
             before = _persistent_ids()
-            out = df.localCheckpoint()
+            out = df.localCheckpoint(eager=False)
             return out, _persistent_ids() - before
 
     def _free(ids: set) -> None:
