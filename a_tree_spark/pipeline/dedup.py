@@ -35,17 +35,69 @@ from pyspark.sql import DataFrame, functions as F
 #: (see _ckpt_tracked) against concurrent driver threads
 _CKPT_LOCK = threading.Lock()
 
-#: bounded FIFO of simhash_near_dup_pairs signature caches. One slot
+#: bounded FIFO of simhash signature checkpoint block-id sets. One slot
 #: (ADVICE r5) broke the driver's construct-then-execute pattern: the
 #: gate builds dedup_simhash_pairs / dedup_clusters / dedup_canonical /
 #: corpus_curation as LAZY frames before materializing any, so slot
-#: eviction on construction unpersisted a cache whose consumer had not
+#: eviction on construction released storage whose consumer had not
 #: run yet, silently reintroducing the 4x double-compute (ADVICE r6).
-#: Four slots cover that pattern; mutation is lock-guarded (same
+#: Round 8: the frames are TRACKED LOCALCHECKPOINTS, not .cache() —
+#: Spark's cache is PLAN-KEYED, so two calls caching the identical
+#: signature plan shared one InMemoryRelation and the FIFO's
+#: unpersist() of the OLD frame evicted the entry out from under the
+#: CURRENT query (measured in the round-8 suite run: dedup_simhash_
+#: pairs 18.9s after dedup_clusters/canonical had cycled the FIFO, vs
+#: 4.3s in isolation, steal 0.1%). localCheckpoint storage is RDD-
+#: private, so eviction frees exactly the evicted call's blocks; eight
+#: slots (the blocks are now actually freed, and each holds ~1e5
+#: 16-byte rows, so headroom is cheap). Mutation is lock-guarded (same
 #: concurrent-driver-threads concern as _CKPT_LOCK).
 _SIMHASH_SIG_CACHE: list = []
-_SIMHASH_SIG_SLOTS = 4
+_SIMHASH_SIG_SLOTS = 8
 _SIMHASH_SIG_LOCK = threading.Lock()
+
+
+def _persistent_rdd_ids(sc) -> set:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _free_rdd_ids(sc, ids: set) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+
+
+def _fifo_local_ckpt(df: DataFrame, spread: bool = False) -> DataFrame:
+    """Lazy localCheckpoint with its storage enrolled in the bounded
+    signature FIFO: per-call private blocks (no plan-keyed sharing),
+    freed when the slot ages out. The snapshot diff runs under
+    _CKPT_LOCK like duplicate_clusters' (ADVICE r5).
+
+    ``spread=True`` round-robins the relation over 2x the cluster's
+    default parallelism BEFORE checkpointing. AQE sizes the upstream
+    aggregate's partitions by BYTES, which coalesced the signature
+    table to ~10 partitions — but the downstream band self-join
+    amplifies output ~500x (29.4M pairs from 53k docs at sf1.0), and
+    the probe stage inherits the checkpoint's partitioning, so 10
+    partitions idled 2/3 of the cores (measured: 19s vs 4.8s for the
+    identical join at 64 partitions). Scale-adaptive (derived from
+    defaultParallelism, not a constant), and the extra round-robin
+    exchange moves only the signature-sized relation (guide §2.5:
+    partition for the work you fan OUT to, not the bytes you hold)."""
+    sc = df.sparkSession.sparkContext
+    if spread:
+        df = df.repartition(2 * sc.defaultParallelism)
+    with _CKPT_LOCK:
+        before = _persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=False)
+        ids = _persistent_rdd_ids(sc) - before
+    with _SIMHASH_SIG_LOCK:
+        _SIMHASH_SIG_CACHE.append((sc, ids))
+        while len(_SIMHASH_SIG_CACHE) > _SIMHASH_SIG_SLOTS:
+            old_sc, old_ids = _SIMHASH_SIG_CACHE.pop(0)
+            _free_rdd_ids(old_sc, old_ids)
+    return out
 
 # 128 seeds in 16 bands of r=8: the LSH S-curve midpoint (1/b)^(1/r) =
 # (1/16)^(1/8) ≈ 0.707 sits exactly at the 0.7 Jaccard threshold — the
@@ -596,22 +648,14 @@ def simhash_near_dup_pairs(
     near-distinct residue. AQE skew
     handling covers the residual (same guard stack as the shingle
     join's ``MAX_SHINGLE_DF``)."""
-    # cache the signatures: the self-join references them on BOTH
-    # sides, and without the cache Spark recomputes the 64-vote
-    # explode+aggregate pipeline twice (measured 4x: 2.3-2.8s -> 0.56s
-    # at sf0.1). Same pattern as the minhash/rare-shingle caches; at
-    # real scale signatures persist to a table instead. Caches from
-    # older invocations are released FIFO once more than
-    # _SIMHASH_SIG_SLOTS accrue: the result is lazy, so a cache must
-    # outlive its call until the consumer materializes — the driver
-    # constructs up to four dedup frames before executing any
-    # (ADVICE r6) — but a long-lived session must not accrue unbounded
-    # cached blocks (ADVICE r5).
-    sig = simhash_signatures(corpus).cache()
-    with _SIMHASH_SIG_LOCK:
-        _SIMHASH_SIG_CACHE.append(sig)
-        while len(_SIMHASH_SIG_CACHE) > _SIMHASH_SIG_SLOTS:
-            _SIMHASH_SIG_CACHE.pop(0).unpersist(False)
+    # checkpoint the signatures: the self-join references them on BOTH
+    # sides, and without materialization Spark recomputes the
+    # signature aggregation pipeline twice. Tracked localCheckpoint,
+    # NOT .cache(): see _SIMHASH_SIG_CACHE — the plan-keyed cache let
+    # one call's FIFO eviction unpersist another call's identical-plan
+    # entry mid-query. At real scale signatures persist to a table
+    # instead.
+    sig = _fifo_local_ckpt(simhash_signatures(corpus), spread=True)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -939,15 +983,11 @@ def simhash_duplicate_clusters(
     sibling) or its class meets another class (a cross-signature pair)
     — exactly the ">= 1 pair" membership rule. Pinned against the
     generic pair-graph path by tests and the driver oracle."""
-    sig = simhash_signatures(corpus).cache()
-    with _SIMHASH_SIG_LOCK:
-        _SIMHASH_SIG_CACHE.append(sig)
-        while len(_SIMHASH_SIG_CACHE) > _SIMHASH_SIG_SLOTS:
-            _SIMHASH_SIG_CACHE.pop(0).unpersist(False)
-    groups = (
+    sig = _fifo_local_ckpt(simhash_signatures(corpus))
+    groups = _fifo_local_ckpt(
         sig.groupBy("simhash")
-        .agg(F.min("doc_id").alias("mn"), F.count("*").alias("cnt"))
-        .localCheckpoint()
+        .agg(F.min("doc_id").alias("mn"), F.count("*").alias("cnt")),
+        spread=True,
     )
     bands = groups.select(
         "simhash",
