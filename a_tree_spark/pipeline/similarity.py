@@ -96,10 +96,28 @@ def _queries(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin a SMALL relation up to ``factor x defaultParallelism``
+    partitions; a no-op when the scan already has that many splits.
+    The embeddings table is a few MB, so its scan yields 2-3 splits —
+    but the per-row work downstream (interpreted HOF dot products,
+    LSH-candidate residual verification) is orders of magnitude heavier
+    than the bytes suggest, and the stage inherits the scan's
+    parallelism, idling the rest of the cluster (guide §2.5: partition
+    for the work you fan out to, not the bytes you hold). At real
+    scale the scan has plenty of splits and this never fires; the
+    partition-count probe is plan-side only (no job)."""
+    sc = df.sparkSession.sparkContext
+    target = factor * sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def brute_force_topk(embeddings: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     """Exact dot-product top-k per query (broadcast nested loop)."""
     queries = _queries(embeddings)
-    joined = embeddings.crossJoin(F.broadcast(queries)).where(
+    joined = _spread(embeddings).crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
     scored = joined.withColumn("dot", F.expr(_dot_spark("embedding", "q")))
@@ -453,30 +471,74 @@ def embedding_near_dup_pairs(
 
     Cosine compare is float-exact in both engines: dot^2 >= t^2 *
     (|a|^2 |b|^2) with doubles evaluated in identical IEEE order."""
-    buckets = band_buckets_arrow(
-        embeddings, "vec_id", "embedding", n_bands, planes_per_band
+    # ROUND-8 SHAPE (same output, fewer shuffles): one WIDE row per
+    # vector carrying its embedding AND all band keys, checkpointed
+    # once; per band, a broadcast self-join on that band's key with
+    # (a) the FIRST-MATCHING-BAND predicate replacing the old
+    # .distinct() over multi-band candidate duplicates (an Exchange of
+    # millions of rows at sf1.0), and (b) the exact cosine verify
+    # evaluated in the join residual — both embeddings already ride
+    # the joined row, removing the two candidate->embeddings join-backs
+    # (each too big for auto-broadcast, so they sort-merge-shuffled the
+    # candidate set twice). Guide §8: decide with small rows, and
+    # never re-attach payloads through an extra shuffle.
+    import numpy as np
+    import pyarrow as pa
+
+    from .dedup import _fifo_local_ckpt
+
+    emb_type = embeddings.schema["embedding"].dataType.simpleString()
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            X = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, EMBED_DIM)
+            )
+            buckets = _band_bucket_matrix(X, n_bands, planes_per_band)
+            arrays = [batch.column(0), batch.column(1)]
+            names = ["vec_id", "embedding"]
+            for b in range(n_bands):
+                arrays.append(pa.array(buckets[:, b], type=pa.int64()))
+                names.append(f"b{b}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    band_cols = ", ".join(f"b{b} long" for b in range(n_bands))
+    vecs = _fifo_local_ckpt(
+        _spread(embeddings.select("vec_id", "embedding")).mapInArrow(
+            gen, schema=f"vec_id long, embedding {emb_type}, {band_cols}"
+        )
     )
-    candidates = (
-        buckets.withColumnRenamed("vec_id", "id_a")
-        .join(buckets.withColumnRenamed("vec_id", "id_b"), ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    pairs = candidates.join(
-        embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")),
-        "id_a",
-    ).join(
-        embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")),
-        "id_b",
-    )
-    dot = F.expr(_dot_spark("ea", "eb"))
-    norm_a = F.expr(_dot_spark("ea", "ea"))
-    norm_b = F.expr(_dot_spark("eb", "eb"))
+
+    dot = F.expr(_dot_spark("a.embedding", "b.embedding"))
+    norm_a = F.expr(_dot_spark("a.embedding", "a.embedding"))
+    norm_b = F.expr(_dot_spark("b.embedding", "b.embedding"))
     t = threshold_x1m / 1e6
-    return pairs.where(
-        (dot > 0) & (dot * dot >= F.lit(t * t) * norm_a * norm_b)
-    ).select("id_a", "id_b")
+    out = None
+    for band in range(n_bands):
+        j = (
+            vecs.alias("a")
+            .join(
+                F.broadcast(vecs.alias("b")),
+                F.col(f"a.b{band}") == F.col(f"b.b{band}"),
+            )
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+        for prev in range(band):
+            j = j.where(F.col(f"a.b{prev}") != F.col(f"b.b{prev}"))
+        j = j.where(
+            (dot > 0) & (dot * dot >= F.lit(t * t) * norm_a * norm_b)
+        ).select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        out = j if out is None else out.union(j)
+    return out
 
 
 def embedding_near_dup_oracle(
