@@ -856,7 +856,7 @@ def ivf_topk(
             f"'cid', CAST({int(r['vec_id'])} AS BIGINT))"
             for r in cent_rows
         )
-        assigned = embeddings.select(
+        assigned = _spread(embeddings).select(
             "vec_id",
             "embedding",
             F.expr(
@@ -886,7 +886,7 @@ def ivf_topk(
                     names=["vec_id", "embedding", "cid"],
                 )
 
-        assigned = embeddings.select("vec_id", "embedding").mapInArrow(
+        assigned = _spread(embeddings.select("vec_id", "embedding")).mapInArrow(
             assign, schema="vec_id long, embedding array<float>, cid long"
         )
 
