@@ -762,6 +762,18 @@ def simhash_oracle(text: str) -> int:
 # training-data operator, same as the ANN family.
 
 
+#: pair-count gate for the pre-loop graph contraction: below this the
+#: loop's per-round joins are already cheap and the contraction's two
+#: extra checkpoints + compose join cost more than they save (measured
+#: +0.7s on spatial_cluster's ~6k-cell graph); above it the rounds
+#: dominate — the 148k-pair signature graph ran 2s/round uncontracted
+#: (~15s) vs ~2 near-empty rounds contracted, and the 29.4M-pair doc
+#: graph re-joined its clique-heavy edge relation every round (26s).
+#: The gate reads the EXACT pair count off the already-checkpointed
+#: relation, so it adapts to the real graph at any scale.
+CONTRACT_MIN_PAIRS = 50_000
+
+
 def duplicate_clusters(
     pairs: DataFrame, max_rounds: int = 25, stats: dict | None = None
 ) -> DataFrame:
@@ -846,46 +858,58 @@ def duplicate_clusters(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     )
-    # ONE-ROUND GRAPH CONTRACTION before the loop (guide §2.3: shuffle
-    # fewer bytes; measured sf1.0: 29.4M near-dup pairs over 52.8k
-    # nodes — near-clique components — made every loop round re-join
-    # the full 58.7M-row edge relation, 26s of the query wall). The
-    # seed mapping rep(v) = min(v, neighbours(v)) collapses cliques and
-    # stars (the dominant dup shapes) in one pass; rewriting each pair
-    # modulo the mapping and dropping intra-class edges leaves only the
-    # edges BETWEEN seed classes, so the loop iterates over a relation
-    # sized by the residual graph, not the raw pair count. Correctness:
-    # contraction is component-preserving, the component minimum m maps
-    # to itself (it has no smaller neighbour), so the loop's labels on
-    # representatives are the true component minima, and composing
-    # final(v) = coalesce(loop_label(rep(v)), rep(v)) reproduces the
-    # exact min-reachable-id output (a class with no inter-class edge
-    # IS a whole component, and its rep is then that minimum).
-    mapping, map_ids = _ckpt_tracked(
-        edges_full.groupBy(F.col("src").alias("id"))
-        .agg(F.min("dst").alias("mn"))
-        .select("id", F.least("id", "mn").alias("rep"))
-    )
-    cpairs = (
-        pairs_ck.join(
-            mapping.select(F.col("id").alias("doc_a"),
-                           F.col("rep").alias("ra")), "doc_a")
-        .join(
-            mapping.select(F.col("id").alias("doc_b"),
-                           F.col("rep").alias("rb")), "doc_b")
-        .where(F.col("ra") != F.col("rb"))
-        .select(
-            F.least("ra", "rb").alias("pa"),
-            F.greatest("ra", "rb").alias("pb"),
+    # ONE-ROUND GRAPH CONTRACTION before the loop, SIZE-GATED (guide
+    # §2.3: shuffle fewer bytes; measured sf1.0: 29.4M near-dup pairs
+    # over 52.8k nodes — near-clique components — made every loop round
+    # re-join the full 58.7M-row edge relation, 26s of the query wall;
+    # but for the few-thousand-pair graphs the OTHER consumers feed
+    # (cell adjacency, signature pairs, embedding near-dups) the two
+    # extra checkpoints + compose join are pure overhead, measured
+    # +0.7s on spatial_cluster). The count below is ~free: it performs
+    # the checkpoint materialization the next job needs first-touch
+    # anyway. The seed mapping rep(v) = min(v, neighbours(v)) collapses
+    # cliques and stars (the dominant dup shapes) in one pass;
+    # rewriting each pair modulo the mapping and dropping intra-class
+    # edges leaves only the edges BETWEEN seed classes, so the loop
+    # iterates over a relation sized by the residual graph, not the
+    # raw pair count. Correctness: contraction is component-preserving,
+    # the component minimum m maps to itself (it has no smaller
+    # neighbour), so the loop's labels on representatives are the true
+    # component minima, and composing final(v) =
+    # coalesce(loop_label(rep(v)), rep(v)) reproduces the exact
+    # min-reachable-id output (a class with no inter-class edge IS a
+    # whole component, and its rep is then that minimum).
+    contract = pairs_ck.count() >= CONTRACT_MIN_PAIRS
+    if contract:
+        mapping, map_ids = _ckpt_tracked(
+            edges_full.groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst").alias("mn"))
+            .select("id", F.least("id", "mn").alias("rep"))
         )
-        .distinct()
-    )
-    cpairs_ck, cpair_ids = _ckpt_tracked(cpairs)
-    edges = cpairs_ck.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).union(
-        cpairs_ck.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+        cpairs = (
+            pairs_ck.join(
+                mapping.select(F.col("id").alias("doc_a"),
+                               F.col("rep").alias("ra")), "doc_a")
+            .join(
+                mapping.select(F.col("id").alias("doc_b"),
+                               F.col("rep").alias("rb")), "doc_b")
+            .where(F.col("ra") != F.col("rb"))
+            .select(
+                F.least("ra", "rb").alias("pa"),
+                F.greatest("ra", "rb").alias("pb"),
+            )
+            .distinct()
+        )
+        cpairs_ck, cpair_ids = _ckpt_tracked(cpairs)
+        edges = cpairs_ck.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst")
+        ).union(
+            cpairs_ck.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    else:
+        mapping = None
+        map_ids = cpair_ids = set()
+        edges = edges_full
     # seed with min(self, direct neighbours): star components (the
     # dominant near-dup shape) converge at init and exit after one
     # verification round instead of two
@@ -940,6 +964,10 @@ def duplicate_clusters(
     _free(cpair_ids)
     if stats is not None:
         stats["rounds"] = rounds
+    if not contract:
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        )
     # compose the loop's representative labels back through the seed
     # mapping; a rep with no loop row heads a class that is a whole
     # component, whose minimum is the rep itself
@@ -989,42 +1017,78 @@ def simhash_duplicate_clusters(
         .agg(F.min("doc_id").alias("mn"), F.count("*").alias("cnt")),
         spread=True,
     )
-    bands = groups.select(
-        "simhash",
-        "mn",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(
-                        f"CAST(shiftright(simhash, "
-                        f"{b * SIMHASH_PAIR_BAND_BITS}) & 65535 AS BIGINT)"
-                    ).alias("bits"),
+    # TWO-LEVEL PIGEONHOLE band keys (guide §2.3: shuffle/evaluate
+    # fewer candidates). The single 16-bit band key left hot buckets:
+    # measured sf1.0, 34.6k distinct signatures produced 25.9M band-
+    # equal candidate rows for only 148k surviving pairs — 99.4% of the
+    # join output existed only to fail the hamming filter. Sharpen the
+    # key: with band b equal, the remaining <= max_hamming (3) bit
+    # errors fall in the other 48 bits, so among any 4 disjoint 12-bit
+    # sub-blocks of those 48 at least one is ALSO equal — a pair must
+    # agree on one of 16 (band, sub-block) 28-bit composite keys.
+    # Exactness is the same pigeonhole argument as the 4x16 banding;
+    # candidates shrink by the extra 12 matched bits. Each key packs
+    # into one BIGINT: kid(4b) | band_bits(16b)<<4 | sub_bits(12b)<<20.
+    def _rem48(expr: str, b: int) -> str:
+        """The 48 bits of ``expr`` with band b removed (non-negative).
+        The top band is a plain mask — JVM shifts are mod-64, so
+        ``shiftrightunsigned(x, 64)`` would be a no-op, not zero."""
+        if b == 0:
+            return f"shiftrightunsigned({expr}, 16)"
+        if b == SIMHASH_PAIR_BANDS - 1:
+            return f"({expr} & {(1 << 48) - 1})"
+        lo_mask = (1 << (16 * b)) - 1
+        return (
+            f"(({expr} & {lo_mask}) | "
+            f"(shiftleft(shiftrightunsigned({expr}, {16 * (b + 1)}), {16 * b})))"
+        )
+
+    def _key_exprs(expr: str) -> list[str]:
+        out = []
+        for b in range(SIMHASH_PAIR_BANDS):
+            band_bits = f"(shiftright({expr}, {16 * b}) & 65535)"
+            for j in range(4):
+                sub = f"(shiftright({_rem48(expr, b)}, {12 * j}) & 4095)"
+                out.append(
+                    f"CAST({b * 4 + j} + shiftleft({band_bits}, 4)"
+                    f" + shiftleft({sub}, 20) AS BIGINT)"
                 )
-                for b in range(SIMHASH_PAIR_BANDS)
-            ])
-        ).alias("bb"),
-    ).select(
-        "simhash", "mn",
-        F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"),
+        return out
+
+    keys = groups.select(
+        F.col("simhash"),
+        F.col("mn"),
+        F.explode(F.expr("array(" + ", ".join(_key_exprs("simhash")) + ")"))
+        .alias("bk"),
     )
-    first_band = "CASE " + " ".join(
-        f"WHEN (shiftright(sa, {b * SIMHASH_PAIR_BAND_BITS}) & 65535) = "
-        f"(shiftright(sb, {b * SIMHASH_PAIR_BAND_BITS}) & 65535) THEN {b}"
-        for b in range(SIMHASH_PAIR_BANDS)
-    ) + " END"
-    left = bands.select(
-        F.col("simhash").alias("sa"), F.col("mn").alias("mn_a"),
-        "band", "bits",
+    # first-matching-(band, sub-block) filter: exactly one key row per
+    # surviving pair, no distinct Exchange (same trick as the doc-level
+    # pair join)
+    match_terms = []
+    for b in range(SIMHASH_PAIR_BANDS):
+        band_eq = (
+            f"(shiftright(sa, {16 * b}) & 65535) = "
+            f"(shiftright(sb, {16 * b}) & 65535)"
+        )
+        for j in range(4):
+            sub_eq = (
+                f"(shiftright({_rem48('sa', b)}, {12 * j}) & 4095) = "
+                f"(shiftright({_rem48('sb', b)}, {12 * j}) & 4095)"
+            )
+            match_terms.append(
+                f"WHEN ({band_eq}) AND ({sub_eq}) THEN {b * 4 + j}"
+            )
+    first_key = "CASE " + " ".join(match_terms) + " END"
+    left = keys.select(
+        F.col("simhash").alias("sa"), F.col("mn").alias("mn_a"), "bk"
     )
-    right = bands.select(
-        F.col("simhash").alias("sb"), F.col("mn").alias("mn_b"),
-        "band", "bits",
+    right = keys.select(
+        F.col("simhash").alias("sb"), F.col("mn").alias("mn_b"), "bk"
     )
     spairs = (
-        left.join(right, ["band", "bits"])
+        left.join(right, "bk")
         .where(F.col("sa") < F.col("sb"))
-        .where(F.expr(f"band = ({first_band})"))
+        .where(F.expr(f"(bk & 15) = ({first_key})"))
         .where(F.expr(f"bit_count(sa ^ sb) <= {int(max_hamming)}"))
         .select(
             F.least("mn_a", "mn_b").alias("doc_a"),
