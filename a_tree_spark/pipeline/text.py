@@ -142,7 +142,14 @@ IS_QUALITY_SQL = (
 def text_features(documents: DataFrame) -> DataFrame:
     """doc_id + all text-analysis columns, pure Catalyst expressions.
     The word array ``w`` is materialized once so the rolling-hash
-    fingerprint's HOFs don't re-split per shingle."""
+    fingerprint's HOFs don't re-split per shingle. The input is spread
+    to full parallelism first: per-row cost here (rolling-fingerprint
+    md5 per shingle, 15 marker scans) dwarfs the bytes, and a few-MB
+    documents scan otherwise yields ~12 splits (no-op at real scale —
+    see similarity._spread)."""
+    from .similarity import _spread
+
+    documents = _spread(documents)
     components = quality_components_sql()
     cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
     cols.append(F.expr(lang_id_sql()).alias("lang_id"))
@@ -306,7 +313,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    tokens = documents.select(
+    from .similarity import _spread
+
+    tokens = _spread(documents).select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
