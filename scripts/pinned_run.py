@@ -56,9 +56,14 @@ def main() -> None:
     # investigation); the recorded headline is reproducible with this
     # default. Env override for probing.
     split = os.environ.get("SPARK_GRAFT_MAX_SPLIT", "16m")
+    # probe hook: the best Arrow batch size is a function of the
+    # kernel's per-row live set (r7 tuned 4096 against object-string
+    # columns; r8's dictionary codes shrank the set)
+    arrow_rows = int(os.environ.get("SPARK_GRAFT_ARROW_ROWS", "4096"))
     spark = get_spark(
         "a_tree_spark-pinned",
         cpus=cores,
+        arrow_batch_rows=arrow_rows,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": split,
             "spark.sql.files.openCostInBytes": "512k",
