@@ -955,3 +955,67 @@ def test_domain_stats_two_exchange_aggregate(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_contracted_clusters_match_direct_loop(spark, monkeypatch):
+    """Round-8 internals pin: duplicate_clusters gates its pre-loop
+    graph contraction on the measured pair count (CONTRACT_MIN_PAIRS).
+    Force contraction ON (gate=0) and OFF (gate=inf) over graphs mixing
+    cliques, chains, stars and singleton pairs — both paths must emit
+    the identical (doc_id, cluster_id) relation."""
+    import random
+
+    from a_tree_spark.pipeline import dedup
+
+    rng = random.Random(20260822)
+    edges = set()
+    # clique 100..104, chain 200..206, star around 300, stray pair
+    for i in range(100, 105):
+        for j in range(i + 1, 105):
+            edges.add((i, j))
+    edges |= {(i, i + 1) for i in range(200, 206)}
+    edges |= {(300, x) for x in range(301, 310)}
+    edges.add((900, 901))
+    for _ in range(40):
+        edges.add(tuple(sorted(rng.sample(range(400, 460), 2))))
+    pairs = spark.createDataFrame(
+        [(a, b, 0) for a, b in sorted(edges)],
+        "doc_a long, doc_b long, hamming long",
+    )
+
+    def run(gate):
+        monkeypatch.setattr(dedup, "CONTRACT_MIN_PAIRS", gate)
+        return sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(pairs).collect()
+        )
+
+    assert run(0) == run(10**9)
+
+
+def test_simhash_signature_clusters_match_pair_graph_path(spark):
+    """Round-8 internals pin: simhash_duplicate_clusters (distinct-
+    signature graph + two-level pigeonhole band keys) must equal the
+    generic composition duplicate_clusters(simhash_near_dup_pairs(...))
+    on a corpus with planted exact dups (same-signature cliques) and
+    near dups (cross-signature edges)."""
+    from a_tree_spark.pipeline import dedup
+
+    base = [(i, f"alpha beta gamma delta w{i} x{i % 7} y{i % 3}")
+            for i in range(40)]
+    planted = [(100 + i, t) for i, t in [(i, t) for i, t in base][:15]]
+    near = [(200 + i, t + " extra") for i, (_, t) in enumerate(base[:10])]
+    corpus = spark.createDataFrame(
+        base + planted + near, "doc_id long, text string"
+    )
+    generic = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(
+            dedup.simhash_near_dup_pairs(corpus)
+        ).collect()
+    )
+    sig_level = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.simhash_duplicate_clusters(corpus).collect()
+    )
+    assert sig_level == generic and len(generic) > 0
