@@ -644,12 +644,15 @@ def test_canonical_documents_keeps_reps_and_singletons(spark):
     assert kept == [10, 40, 70, 99]
 
 
-def test_duplicate_clusters_log_round_convergence(spark):
+def test_duplicate_clusters_log_round_convergence(spark, monkeypatch):
     """Pointer jumping must converge in O(log diameter): a 128-node
     path graph (diameter 127) resolves in <= 9 rounds where plain
-    neighbor propagation needs 127."""
+    neighbor propagation needs 127. Forced onto the distributed loop
+    (round 8 resolves graphs this small driver-side by default)."""
+    from a_tree_spark.pipeline import dedup
     from a_tree_spark.pipeline.dedup import duplicate_clusters
 
+    monkeypatch.setattr(dedup, "DRIVER_RESOLVE_MAX_PAIRS", 0)
     pairs = spark.createDataFrame(
         [(i, i + 1, 1) for i in range(127)],
         "doc_a long, doc_b long, hamming long",
@@ -657,17 +660,22 @@ def test_duplicate_clusters_log_round_convergence(spark):
     stats: dict = {}
     got = duplicate_clusters(pairs, stats=stats).collect()
     assert all(r["cluster_id"] == 0 for r in got) and len(got) == 128
-    assert stats["rounds"] <= 9, stats
+    assert 1 <= stats["rounds"] <= 9, stats
 
 
-def test_duplicate_clusters_matches_union_find(spark):
+def test_duplicate_clusters_matches_union_find(spark, monkeypatch):
     """Third oracle for the CC operator (besides the crafted graphs and
     the DuckDB recursive CTE): a pure-python union-find over seeded
     random graphs — a different algorithm family, so a shared bug
-    can't hide."""
+    can't hide. Forced onto the distributed loop; the default driver-
+    side path is union-find itself and is pinned by the equivalence
+    tests below."""
     import random
 
+    from a_tree_spark.pipeline import dedup
     from a_tree_spark.pipeline.dedup import duplicate_clusters
+
+    monkeypatch.setattr(dedup, "DRIVER_RESOLVE_MAX_PAIRS", 0)
 
     rng = random.Random(20260817)
     for _ in range(3):
@@ -983,14 +991,18 @@ def test_contracted_clusters_match_direct_loop(spark, monkeypatch):
         "doc_a long, doc_b long, hamming long",
     )
 
-    def run(gate):
-        monkeypatch.setattr(dedup, "CONTRACT_MIN_PAIRS", gate)
+    def run(driver_gate, contract_gate):
+        monkeypatch.setattr(dedup, "DRIVER_RESOLVE_MAX_PAIRS", driver_gate)
+        monkeypatch.setattr(dedup, "CONTRACT_MIN_PAIRS", contract_gate)
         return sorted(
             (r["doc_id"], r["cluster_id"])
             for r in dedup.duplicate_clusters(pairs).collect()
         )
 
-    assert run(0) == run(10**9)
+    driver = run(10**9, 10**9)      # driver-side union-find
+    contracted = run(0, 0)          # distributed, contraction forced
+    direct = run(0, 10**9)          # distributed, plain loop
+    assert driver == contracted == direct
 
 
 def test_simhash_signature_clusters_match_pair_graph_path(spark):
