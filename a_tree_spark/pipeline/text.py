@@ -149,7 +149,7 @@ def text_features(documents: DataFrame) -> DataFrame:
     see similarity._spread)."""
     from .similarity import _spread
 
-    documents = _spread(documents)
+    documents = _spread(documents, key="doc_id")
     components = quality_components_sql()
     cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
     cols.append(F.expr(lang_id_sql()).alias("lang_id"))
@@ -315,7 +315,7 @@ def tfidf_top_terms(
 
     from .similarity import _spread
 
-    tokens = _spread(documents).select(
+    tokens = _spread(documents, key="doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))

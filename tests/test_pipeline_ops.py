@@ -663,6 +663,35 @@ def test_duplicate_clusters_log_round_convergence(spark, monkeypatch):
     assert 1 <= stats["rounds"] <= 9, stats
 
 
+def test_driver_resolve_path_graph_and_sparse_ids(spark):
+    """Round-8 internals pin for the DRIVER-side numpy resolution: a
+    worst-diameter path graph (exercises the jump-to-closure loop —
+    single-jump propagation would need 500 rounds) plus sparse,
+    shuffled, non-contiguous ids (exercises the index compression:
+    labels are INDICES into the sorted unique ids, and the output must
+    map back through them)."""
+    from a_tree_spark.pipeline.dedup import duplicate_clusters
+
+    # path over ids 7, 1007, 2007, ... (ascending along the path), and
+    # a second path laid DESCENDING so the min sits at the far end
+    up = [(7 + 1000 * i, 7 + 1000 * (i + 1), 0) for i in range(500)]
+    down = [(900_000 - 3 * i, 900_000 - 3 * (i + 1), 0) for i in range(400)]
+    pairs = spark.createDataFrame(
+        up + down, "doc_a long, doc_b long, hamming long"
+    )
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, stats=stats).collect()
+    }
+    assert stats["rounds"] == 0  # driver path taken
+    assert len(got) == 501 + 401
+    assert all(got[7 + 1000 * i] == 7 for i in range(501))
+    assert all(
+        got[900_000 - 3 * i] == 900_000 - 3 * 400 for i in range(401)
+    )
+
+
 def test_duplicate_clusters_matches_union_find(spark, monkeypatch):
     """Third oracle for the CC operator (besides the crafted graphs and
     the DuckDB recursive CTE): a pure-python union-find over seeded
