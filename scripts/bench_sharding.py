@@ -140,6 +140,20 @@ def main() -> int:
         # the dereferenced shuffles between rounds
         spark.sparkContext._jvm.System.gc()
 
+    # row-set hash per k: the cell-stats columns are all integers
+    # (counts and bit-packed ids — no float-sum rounding), so the hash
+    # is comparable ACROSS runs at different core counts; this is what
+    # lets the 32-core k=8 run (where k=1 OOMs and in-run equality is
+    # impossible) be checked against an 8-core k=1 run's rows
+    import hashlib
+
+    rows_sha = {
+        f"shards_{k}": hashlib.sha256(
+            repr(sorted(map(tuple, rows))).encode()
+        ).hexdigest()
+        for k, rows in last_rows.items()
+    }
+
     # ALL-pairs equality (the collected cell-stats rows are tiny), and
     # an explicit "skipped" marker when < 2 distinct k values ran — a
     # null in the artifact read as "checked" (ADVICE r6)
@@ -168,6 +182,7 @@ def main() -> int:
         "forest_build_sec_total": build_sec,
         "broadcast_mb": broadcast_mb,
         "equality_all_pairs": equality,
+        "rows_sha256": rows_sha,
     }
     if nodes is not None:
         out["forest_nodes"] = nodes
