@@ -374,6 +374,7 @@ def fused_match_pages(
     emit: str = "matches",
     access_pruning: bool | None = None,
     fallback_counter=None,
+    broadcast_out: list | None = None,
 ) -> DataFrame:
     """Single-Python-stage flagship kernel: extract + eventize + match
     in ONE mapInArrow pass.
@@ -430,6 +431,11 @@ def fused_match_pages(
         else access_pruning
     )
     bc = spark.sparkContext.broadcast(evaluator)
+    if broadcast_out is not None:
+        # hand the caller the broadcast handle so it can destroy it
+        # once a materialized pass no longer needs it (the sharded
+        # isolate mode's per-worker memory bound)
+        broadcast_out.append(bc)
 
     # (cell, sub) int64 packing contract for emit="cell_partials": the
     # cell key (incl. the positionless sentinel 2^2L) needs 2*level+1
@@ -920,6 +926,7 @@ def sharded_root_partials(
     keyed_pages: DataFrame,
     forests: list[ForestBuilder],
     level: int = DEFAULT_LEVEL,
+    isolate_shards: bool = False,
 ):
     """(unioned packed partials, unioned root map) across k independent
     forests. Per-shard root ids are made globally unique by adding the
@@ -950,13 +957,32 @@ def sharded_root_partials(
     offset = 0
     for forest in forests:
         n_roots = len(BatchEvaluator(forest.compile()).root_nodes)
+        handles: list = []
         p = fused_match_pages(
-            keyed_pages, forest, level, emit="cell_root_partials"
+            keyed_pages, forest, level, emit="cell_root_partials",
+            broadcast_out=handles if isolate_shards else None,
         )
         m = root_subscription_map(spark, forest)
         if offset:
             p = p.withColumn("ckey", F.col("ckey") + F.lit(offset))
             m = m.withColumn("root_id", F.col("root_id") + F.lit(offset))
+        if isolate_shards:
+            # ``isolate_shards``: run each shard's page pass as its own
+            # eager job and DESTROY its evaluator broadcast once the
+            # (tiny, per-(cell,root)-combined) partials are
+            # materialized. Reused python workers evict destroyed
+            # broadcasts at their next task, so live worker memory is
+            # bounded by ONE shard evaluator at a time — the local-mode
+            # emulation of a real cluster's disjoint executor groups,
+            # where the one-job union form would instead accumulate
+            # every shard's evaluator in every worker (the same
+            # all-shards-resident shape that makes the unsharded forest
+            # OOM at 32 workers). Output rows are identical: the union
+            # is over the same per-shard relations, materialized or
+            # not (pinned by test_sharded_isolate_equals_union).
+            p = p.localCheckpoint(eager=True)
+            for h in handles:
+                h.destroy()
         parts.append(p)
         maps.append(m)
         offset += n_roots

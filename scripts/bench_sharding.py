@@ -7,7 +7,7 @@ bench.py's convention. Levels interleave inside ONE JVM (min-of-N per
 level) so host CPU-steal streaks hit both sides alike. Prints one JSON
 line.
 
-Usage: python scripts/bench_sharding.py [n_pages] [n_subs] [rounds] [shard_list] [workload]
+Usage: python scripts/bench_sharding.py [n_pages] [n_subs] [rounds] [shard_list] [workload] [isolate]
 e.g.   python scripts/bench_sharding.py 2000000 1000000 2 1,4
        python scripts/bench_sharding.py 500000 1000000 2 2,8,auto diverse
 
@@ -35,6 +35,7 @@ def main() -> int:
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     raw_shards = sys.argv[4].split(",") if len(sys.argv) > 4 else ["1", "2", "4"]
     workload = sys.argv[5] if len(sys.argv) > 5 else "standing"
+    isolate = len(sys.argv) > 6 and sys.argv[6] == "isolate"
 
     from pyspark.sql import functions as F
 
@@ -115,7 +116,9 @@ def main() -> int:
             )
             root_map = root_subscription_map(spark, forests[0])
         else:
-            partials, root_map = sharded_root_partials(keyed, forests)
+            partials, root_map = sharded_root_partials(
+                keyed, forests, isolate_shards=isolate
+            )
         return cell_stats_from_root_partials(partials, root_map)
 
     # per-run incremental prints: a 1M-root bench holds ~100 GB of
@@ -183,6 +186,7 @@ def main() -> int:
         "broadcast_mb": broadcast_mb,
         "equality_all_pairs": equality,
         "rows_sha256": rows_sha,
+        "isolate_shards": isolate,
     }
     if nodes is not None:
         out["forest_nodes"] = nodes

@@ -326,6 +326,44 @@ def test_sharded_forest_equals_single(spark):
     assert sorted(map(tuple, sharded3.collect())) == a
 
 
+def test_sharded_isolate_equals_union(spark):
+    """Round-8 pin: ``isolate_shards`` (one eager job per shard pass,
+    evaluator broadcast destroyed after its partials materialize — the
+    local-mode emulation of disjoint executor groups) must produce the
+    exact rows of the default one-job union form, and the destroyed
+    broadcasts must not poison a SECOND pipeline run in the same
+    session (worker broadcast-registry eviction)."""
+    from pyspark.sql import functions as F
+
+    from a_tree_spark.web.pipeline import (
+        build_forests,
+        cell_stats_from_root_partials,
+        shard_subscriptions,
+        sharded_root_partials,
+        standing_page_subscriptions,
+    )
+
+    pages = synth_pages_df(spark, N_PAGES, partitions=4)
+    keyed = pages.withColumn("page_key", F.monotonically_increasing_id())
+    forests = build_forests(
+        shard_subscriptions(standing_page_subscriptions(N_SUBS), 3)
+    )
+
+    def rows(isolate):
+        partials, root_map = sharded_root_partials(
+            keyed, forests, isolate_shards=isolate
+        )
+        return sorted(
+            map(tuple, cell_stats_from_root_partials(
+                partials, root_map).collect())
+        )
+
+    base = rows(isolate=False)
+    assert rows(isolate=True) == base and len(base) > 0
+    # again after the destroys: workers must re-ship fresh broadcasts
+    assert rows(isolate=True) == base
+
+
 def test_diverse_workload_distinct_roots(spark):
     """VERDICT r5 item 6: the diverse generator's literals are
     splitmix64-derived, so distinct expressions == n (the templated
