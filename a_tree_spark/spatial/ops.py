@@ -638,6 +638,7 @@ def grid_cluster(
     lat_col: str = "lat",
     lon_col: str = "lon",
     stats: dict | None = None,
+    checkpoint=None,
 ) -> DataFrame:
     """DBSCAN-style density clustering on the GLQ grid: a cell is CORE
     when >= ``min_pts`` points land in it; core cells that are
@@ -661,26 +662,35 @@ def grid_cluster(
     A hot cell is just a big count — skew never concentrates rows.
 
     Output: (``id_col``, cell_id, cluster_id) for points in core cells.
+
+    ``checkpoint``: DataFrame -> DataFrame hook that cuts the core
+    relation's lineage (VERDICT r7 item 6). Default is a lazy
+    ``localCheckpoint`` — right for the sandbox, but an executor loss
+    at scale recomputes the point-sized aggregation; on a real cluster
+    pass e.g. ``lambda df: df.checkpoint(eager=False)`` (reliable,
+    survives executor loss) after ``setCheckpointDir``.
     """
     from ..pipeline.dedup import duplicate_clusters
 
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    if checkpoint is None:
+        def checkpoint(df):
+            return df.localCheckpoint(eager=False)
     n = grid_size(level)
     pts = points.selectExpr(
         id_col, f"{cell_id_sql(lat_col, lon_col, level)} AS cell_id"
     )
-    # lazy localCheckpoint: the core relation is cell-sized, but its
-    # lineage contains the point-sized aggregation — without the cut,
-    # that scan+groupBy re-executes for each side of the adjacency
+    # lineage cut: the core relation is cell-sized, but its lineage
+    # contains the point-sized aggregation — without the cut, that
+    # scan+groupBy re-executes for each side of the adjacency
     # self-join and AGAIN in the final label join's downstream actions
-    # (round-7 review); on a real cluster use a reliable checkpoint
-    core = (
+    # (round-7 review)
+    core = checkpoint(
         pts.groupBy("cell_id")
         .agg(F.count("*").alias("n_pts"))
         .where(F.col("n_pts") >= min_pts)
         .select("cell_id")
-        .localCheckpoint(eager=False)
     )
     # forward half of the 8-neighborhood: E, SW, S, SE — each unordered
     # adjacent pair appears exactly once. Guards clamp at the grid edge

@@ -773,6 +773,49 @@ def test_grid_cluster_all_isolated_cores(spark):
     assert got == {0: n + 1, 1: n + 1, 2: 5 * n + 5, 3: 5 * n + 5}
 
 
+def test_grid_cluster_checkpoint_hook(spark):
+    """VERDICT r7 item 6: grid_cluster exposes a lineage-cut hook for
+    the core-cell relation, so a real cluster can substitute a
+    reliable checkpoint for the sandbox's localCheckpoint. The hook
+    must be called exactly once, its RETURN must be what the operator
+    builds on (the plan cut — the core lineage below the hook never
+    reaches the output plan), and output rows must be identical to the
+    default."""
+    import numpy as np
+
+    from a_tree_spark.spatial.cells import cell_center, grid_size
+    from a_tree_spark.spatial.ops import grid_cluster
+
+    level = 3
+    n = grid_size(level)
+
+    def pt(pid, y, x):
+        lat, lon = cell_center(np.array([y * n + x]), level)
+        return (pid, float(lat[0]), float(lon[0]))
+
+    rows = [pt(0, 1, 1), pt(1, 1, 1), pt(2, 1, 2), pt(3, 1, 2)]
+    points = spark.createDataFrame(rows, ["event_id", "lat", "lon"])
+    calls: list = []
+
+    def hook(df):
+        calls.append(df)
+        return df.localCheckpoint(eager=True)
+
+    out = grid_cluster(points, level, 2, checkpoint=hook)
+    assert len(calls) == 1
+    assert calls[0].columns == ["cell_id"]
+    # the plan builds on the hook's RETURN: the materialized checkpoint
+    # scan replaces the point aggregation in the output plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    got = {r.event_id: r.cluster_id for r in out.collect()}
+    default = {
+        r.event_id: r.cluster_id
+        for r in grid_cluster(points, level, 2).collect()
+    }
+    assert got == default == {i: n + 1 for i in range(4)}
+
+
 def test_od_moves_null_ts_dropped_engine_identically(spark):
     """Round-7 review repro: a NULL-ts event used to produce OPPOSITE
     phantom flows in the two engines (Spark windows order NULL day
